@@ -1,0 +1,10 @@
+from .admm import AdmmResult, infer_admm, solve_lowrank_multi, solve_minl2  # noqa: F401
+from .eigh_jacobi import eigh_desc, eigh_jacobi, subspace_eigh  # noqa: F401
+from .prox import (  # noqa: F401
+    magnitude_prox,
+    nuclear_prox,
+    profile_ladder,
+    project_rows_to_magnitude,
+    spectral_profile_prox,
+)
+from .spectral_init import spectral_initialize  # noqa: F401

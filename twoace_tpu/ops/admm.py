@@ -249,7 +249,8 @@ def _make_prox(kind: str, nt: int, nr: int, m: int, n: int,
     if kind == "nuclear":
         return lambda z, mu: nuclear_prox(z, 1.0 / mu, eig_backend)
     ladder = profile_ladder(nt, nr, m, n, use_rank_one,
-                            cfg.profile.rank_mults, cfg.profile.fractions)
+                            cfg.profile.rank_mults, cfg.profile.fractions,
+                            mode=cfg.profile.ladder)
     return lambda z, mu: spectral_profile_prox(z, nt, nr, ladder, eig_backend)
 
 

@@ -1,0 +1,166 @@
+"""Generalized Approximate Message Passing (complex), from first principles.
+
+Replaces the vendored GAMP MATLAB suite (ref:
+main/3rd_software_component/GAMP/...) used by the reference for:
+  - ``EMBGAMP``: Bernoulli-Gaussian input channel with EM hyper-parameter
+    learning — stage 2 of PLGAMP and the conventional-CS baseline
+    (ref: My_TwoStage_Recovery.m:163-181, My_Conventional_CS.m:14-30)
+  - ``prGAMP4``: phase-retrieval GAMP with magnitude-only output channel
+    (ref: MyPRGAMP.m:63-76)
+
+This is a clean-room JAX implementation of the standard sum-product GAMP
+recursion (Rangan 2011) with a complex Bernoulli-Gaussian prior and EM
+updates of (sparsity, signal variance, noise variance) in the style of
+Vila & Schniter 2013.  Fixed trip count + damping for jit friendliness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class GampResult(NamedTuple):
+    x: jax.Array
+    tau_x: jax.Array
+    sparsity: jax.Array
+    noise_var: jax.Array
+
+
+def _bg_denoiser(r, tau_r, lam, phi):
+    """Posterior mean/var of x under prior lam*CN(0, phi) + (1-lam)*delta_0
+    and pseudo-observation r ~ CN(x, tau_r)."""
+    tau_r = jnp.maximum(tau_r, 1e-20)
+    phi_p = phi + tau_r
+    # activity likelihood ratio (complex gaussians)
+    log_num = -jnp.abs(r) ** 2 / phi_p - jnp.log(phi_p)
+    log_den = -jnp.abs(r) ** 2 / tau_r - jnp.log(tau_r)
+    ratio = (lam / jnp.maximum(1.0 - lam, 1e-12)) * jnp.exp(
+        jnp.clip(log_num - log_den, -50.0, 50.0))
+    pi = ratio / (1.0 + ratio)
+    gamma = r * (phi / phi_p).astype(r.dtype)
+    nu = phi * tau_r / phi_p
+    x_hat = pi.astype(r.dtype) * gamma
+    tau_x = pi * (nu + jnp.abs(gamma) ** 2) - jnp.abs(x_hat) ** 2
+    return x_hat, jnp.maximum(tau_x, 1e-20), pi, gamma, nu
+
+
+def _awgn_output(p, tau_p, y, psi):
+    """AWGN output channel y = z + w, w ~ CN(0, psi)."""
+    tau_p = jnp.maximum(tau_p, 1e-20)
+    z_hat = (psi.astype(p.dtype) * p + tau_p.astype(p.dtype) * y) \
+        / (psi + tau_p).astype(p.dtype)
+    tau_z = psi * tau_p / (psi + tau_p)
+    return z_hat, tau_z
+
+
+def _magnitude_output(p, tau_p, y_mag, psi):
+    """Magnitude output channel y = |z| + w (phase-retrieval GAMP).
+
+    Posterior approximated by keeping p's phase and blending magnitudes with
+    precision weights — the same scalar form as the ADMM magnitude prox —
+    plus the half-variance phase-uncertainty correction of prGAMP.
+    """
+    tau_p = jnp.maximum(tau_p, 1e-20)
+    p_mag = jnp.abs(p)
+    p_dir = p / jnp.maximum(p_mag, 1e-20).astype(p.dtype)
+    mag = (psi * p_mag + tau_p * y_mag) / (psi + tau_p)
+    z_hat = mag.astype(p.dtype) * p_dir
+    tau_z = 0.5 * (psi * tau_p / (psi + tau_p)
+                   + tau_p * y_mag / jnp.maximum(p_mag + y_mag, 1e-20))
+    return z_hat, tau_z
+
+
+@partial(jax.jit, static_argnames=("iters", "learn_lambda", "output"))
+def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
+         iters: int = 200, damping: float = 0.7,
+         learn_lambda: bool = True, output: str = "awgn",
+         x0=None) -> GampResult:
+    """Run GAMP.  ``a``: (m, n); ``y``: (m,) complex (awgn) or real magnitudes
+    (output="magnitude")."""
+    m, n = a.shape
+    abs2 = jnp.abs(a) ** 2
+    y_pow = jnp.mean(jnp.abs(y) ** 2)
+    if phi0 is None:
+        # EM init (Vila-Schniter): split measured power between signal+noise
+        phi0 = (y_pow - psi0) * n / jnp.maximum(
+            jnp.sum(abs2) * lam0 / m, 1e-20) / n
+        phi0 = jnp.maximum(phi0, 1e-12)
+
+    if x0 is None:
+        x0 = jnp.zeros((n,), a.dtype)
+    else:
+        x0 = jnp.asarray(x0, a.dtype)
+    state = dict(x=x0, tau_x=jnp.full((n,), phi0 * lam0), s=jnp.zeros((m,), a.dtype),
+                 lam=jnp.asarray(lam0, jnp.float32).astype(abs2.dtype),
+                 phi=jnp.asarray(phi0, abs2.dtype),
+                 psi=jnp.asarray(psi0, abs2.dtype))
+
+    def body(st, _):
+        # output linear step
+        tau_p = abs2 @ st["tau_x"]
+        p = a @ st["x"] - st["s"] * tau_p.astype(a.dtype)
+        if output == "awgn":
+            z_hat, tau_z = _awgn_output(p, tau_p, y, st["psi"])
+        else:
+            z_hat, tau_z = _magnitude_output(p, tau_p, y, st["psi"])
+        s = (z_hat - p) / tau_p.astype(a.dtype)
+        tau_s = jnp.maximum((1.0 - tau_z / tau_p) / tau_p, 1e-20)
+        # input linear step
+        tau_r = 1.0 / jnp.maximum(abs2.T @ tau_s, 1e-20)
+        r = st["x"] + tau_r.astype(a.dtype) * (jnp.conj(a.T) @ s)
+        # denoise
+        x_new, tau_x_new, pi, gamma, nu = _bg_denoiser(r, tau_r, st["lam"],
+                                                       st["phi"])
+        # damping
+        x = damping * x_new + (1 - damping) * st["x"]
+        tau_x = damping * tau_x_new + (1 - damping) * st["tau_x"]
+        # EM updates (Vila-Schniter)
+        lam = st["lam"]
+        if learn_lambda:
+            lam = jnp.clip(jnp.mean(pi), 1e-4, 1.0 - 1e-4)
+        phi = jnp.maximum(jnp.sum(pi * (nu + jnp.abs(gamma) ** 2))
+                          / jnp.maximum(jnp.sum(pi), 1e-12), 1e-12)
+        if output == "awgn":
+            resid = y - a @ x
+        else:
+            resid = y - jnp.abs(a @ x)
+        psi = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-12)
+        return dict(x=x, tau_x=tau_x, s=s, lam=lam, phi=phi, psi=psi), None
+
+    state, _ = lax.scan(body, state, None, length=iters)
+    return GampResult(x=state["x"], tau_x=state["tau_x"],
+                      sparsity=state["lam"], noise_var=state["psi"])
+
+
+def embgamp(y, a, snr_db: float, lam0: float, learn_lambda: bool = True,
+            iters: int = 200):
+    """EMBGAMP-compatible wrapper (ref: My_Conventional_CS.m:14-24):
+    complex AWGN output, Bernoulli-Gaussian input, EM learning."""
+    psi0 = jnp.mean(jnp.abs(y) ** 2) / (1.0 + 10.0 ** (snr_db / 10.0))
+    res = gamp(a, y, lam0=lam0, psi0=psi0, iters=iters,
+               learn_lambda=learn_lambda, output="awgn")
+    return res.x
+
+
+def prgamp(y_mag, a, lam0: float = 0.1, iters: int = 300):
+    """Phase-retrieval GAMP (magnitude-only output channel).
+
+    ref: MyPRGAMP.m:71 ``prGAMP4(sqrt(y), A, opt)`` — input is the magnitude.
+    Spectral initialization breaks the x=0 fixed point of the magnitude
+    channel (prGAMP4 similarly random/spectral-restarts).
+    """
+    from .spectral_init import spectral_initialize
+
+    x0 = spectral_initialize(a, y_mag, 1)[:, 0]
+    # scale init so predicted magnitudes match measured energy
+    ax = jnp.abs(a @ x0)
+    x0 = x0 * (jnp.linalg.norm(y_mag)
+               / jnp.maximum(jnp.linalg.norm(ax), 1e-20)).astype(a.dtype)
+    res = gamp(a, y_mag, lam0=lam0, psi0=1e-3 * jnp.mean(y_mag ** 2),
+               iters=iters, learn_lambda=True, output="magnitude", x0=x0)
+    return res.x

@@ -65,11 +65,19 @@ def project_rows_to_magnitude(y, b, scale_by_row: bool):
 def profile_ladder(nt: int, nr: int, m: int, n: int, use_rank_one: bool,
                    rank_mults: Sequence[float] = (0.5, 0.7, 1.0, 2.0),
                    fractions: Sequence[float] = (0.8, 0.9, 0.95, 0.995),
-                   ) -> Tuple[Tuple[int, float], ...]:
+                   mode: str = "v4") -> Tuple[Tuple[int, float], ...]:
     """Static constraint-ladder selection C(r, f).
 
     ref: inferLowRankV4_multi.m:437-464.  The choice depends only on static
     shape information, so it is resolved at trace time.
+
+    ``mode`` selects the historical solver generation:
+      - ``"v1"``: single constraint (ceil(sqrt(sz)), f2)
+        (ref: inferLowRank.m:407-418)
+      - ``"v2"``: v1 + the m >= 3n overdetermined case and rank-1 mode
+        (ref: inferLowRankV2.m:407-431); also used by V3, which only
+        re-parameterizes mu0/rho/cc_frac (ref: inferLowRankV3.m:4-9)
+      - ``"v4"``: the full constraint ladder with small-size fallbacks
     """
     sz = min(nt, nr)
     rs = [math.ceil(math.sqrt(sz) * rank_mults[0]),
@@ -77,10 +85,14 @@ def profile_ladder(nt: int, nr: int, m: int, n: int, use_rank_one: bool,
           math.ceil(math.sqrt(sz) * rank_mults[2]),
           min(sz, math.ceil(math.sqrt(sz) * rank_mults[3]))]
     fs = list(fractions)
+    if mode == "v1":
+        return ((rs[2], fs[2]),)
     if use_rank_one:
         return ((1, 0.95),)
     if m >= 3 * n:
         return ((rs[3], fs[3]),)
+    if mode == "v2":
+        return ((rs[2], fs[2]),)
     if rs[1] <= 2:
         return ((rs[2], fs[2]),)
     if rs[0] <= 2:

@@ -1,0 +1,17 @@
+from .bayes_opt import bayes_a_opt_select, prior_from_channel  # noqa: F401
+from .codebooks import (  # noqa: F401
+    Codebook,
+    aco_sweep_codebook,
+    conj_phase_bits,
+    directional_beams_angular,
+    directional_beams_spatial,
+    kron_probe_rows,
+    multires_codebook,
+    random_codebook,
+    random_phase_bits,
+    random_sensing_rows,
+    rss_to_csi,
+    svd_beamformer_bits,
+    sweep_codebook,
+)
+from .sensing_matrix import SensingMatrix, generate_sensing_matrix, pick_beams  # noqa: F401

@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    BATCH_AXIS,
+    ROWS_AXIS,
+    batch_sharding,
+    make_mesh,
+    problem_sharding,
+)
+from .sharded_admm import solve_lowrank_sharded  # noqa: F401

@@ -1,0 +1,20 @@
+from .mobility import MobilityConfig, MobilityTrace, track  # noqa: F401
+from .recovery import (  # noqa: F401
+    CampaignConfig,
+    RecoveryOutput,
+    recover_a2nuclear,
+    recover_a2only,
+    recover_campaign,
+    recover_directional,
+    recover_multiresolution,
+    recover_phaselift,
+)
+from .simulation import (  # noqa: F401
+    SimulationConfig,
+    SweepResult,
+    infer_channel_windows,
+    measurements_needed_vs_range,
+    sweep_measurements,
+    sweep_snr,
+)
+from .testbed import TestbedConfig, TestbedRunner  # noqa: F401

@@ -1,0 +1,213 @@
+"""Monte-Carlo simulation drivers (the Numerical_Simulation main programs).
+
+TPU-native rewrite of:
+  - ``Vs_M{,_par}.m``: recovery error vs number of measurements
+    (ref: Numerical_Simulation/main_programs/Vs_M_par.m:75-219)
+  - ``Vs_SNR{,_par}.m``: recovery error vs SNR
+  - ``VS_SR_par.m``: measurements needed vs search range
+    (ref: VS_SR_par.m:73-109)
+  - ``Infer_channel_ADMM.m``: windowed batch inference over a real RSS trace
+    (ref: Infer_channel_ADMM.m:108-174)
+
+The reference distributes Monte-Carlo instances over a parfor process pool;
+here the instance axis is an array axis (channels, codebooks, measurements
+generated in one fused computation) and solves run either vmapped (A2) or
+in a short host loop (baselines whose compression size is data-adaptive).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import AdmmConfig, ArrayConfig, ChannelConfig, MethodFlags
+from ..models.channel import generate_channel
+from ..models.measurement import generate_measurement
+from ..models.sparse import sparse_formulation
+from ..ops.admm import solve_lowrank_multi
+from ..ops.dispatch import recover_sparse
+from ..sensing.sensing_matrix import generate_sensing_matrix
+from ..utils.metrics import (
+    angle_error,
+    angles_from_sparse,
+    nmse_h,
+    nmse_h_projection,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """Shared Monte-Carlo scaffold (ref: Vs_M_par.m:75-134)."""
+
+    array: ArrayConfig = ArrayConfig(nt=12, nr=12)
+    channel: ChannelConfig = ChannelConfig(n_paths=1, rician_k=0)
+    snr_db: float = 0.0
+    add_noise: bool = True
+    beam_method: str = "Directional_Beam_Angular"
+    methods: MethodFlags = MethodFlags(admm_lowrank_v4=False, plomp=True,
+                                       plgamp=True)
+    admm: AdmmConfig = AdmmConfig()
+    n_trials: int = 10
+
+
+class SweepResult(NamedTuple):
+    grid: np.ndarray                #: swept values (M, SNR, or range)
+    nmse: Dict[str, np.ndarray]     #: method -> (len(grid),) mean NMSE
+    aoda_err: Dict[str, np.ndarray]  #: method -> mean AoD/AoA error (deg)
+
+
+def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
+    """Run enabled methods on a batch; returns {name: (U, P or n) estimates}."""
+    cfg = sim.array
+    out: Dict[str, np.ndarray] = {}
+    batch = meas.norm_square.shape[0]
+
+    # sparse-domain baselines: per-instance host loop (adaptive internals)
+    base_flags = dataclasses.replace(sim.methods, admm_lowrank_v4=False,
+                                     admm=False, admm_nuclear=False)
+    if base_flags.enabled() or sim.add_noise:
+        per_inst = []
+        for u in range(batch):
+            res = recover_sparse(
+                jax.random.fold_in(key, u),
+                meas.norm_square[u], sensing.measurement_mat[u],
+                base_flags, s=sim.channel.n_paths,
+                noise_power=float(meas.noise_power),
+                measurements_perfect=meas.perfect_phase[u],
+                measurements_noisy=meas.noisy_phase[u])
+            per_inst.append(res)
+        for name in per_inst[0]:
+            out[name] = np.stack([np.asarray(r[name]) for r in per_inst])
+
+    # A2 family: vmapped over instances, H-domain
+    if sim.methods.admm_lowrank_v4 or sim.methods.admm_nuclear:
+        prox = "nuclear" if sim.methods.admm_nuclear else "spectral_profile"
+        keys = jax.random.split(jax.random.fold_in(key, 999), batch)
+        b = jnp.sqrt(meas.norm_square)
+
+        def solve(k, a, bb):
+            return solve_lowrank_multi(k, a, bb, cfg.nt, cfg.nr, sim.admm,
+                                       prox_kind=prox).x
+        xs = jax.vmap(solve)(keys, sensing.fw, b)
+        name = "admm_nuclear" if sim.methods.admm_nuclear \
+            else "admm_lowrank_v4"
+        out[name] = np.asarray(xs)
+    return out
+
+
+def _evaluate(out, rep, ch, sim: SimulationConfig):
+    """NMSE + angle errors per method (ref: Evaluation_Recovery.m:73-214)."""
+    cfg = sim.array
+    nmse_d, ang_d = {}, {}
+    for name, est in out.items():
+        est_j = jnp.asarray(est)
+        if est_j.shape[-1] == rep.ad.shape[1]:       # sparse z -> vec H
+            vec_est = jnp.einsum("np,up->un", rep.ad, est_j)
+            aod, aoa = angles_from_sparse(est_j, cfg, rep.tx_window,
+                                          rep.rx_window, sim.channel.n_paths)
+            ang = angle_error(aod, aoa, ch.aod_deg, ch.aoa_deg)
+            ang_d[name] = float(jnp.mean(ang.aoda_err))
+        else:                                        # direct vec H estimate
+            vec_est = est_j
+            ang_d[name] = float("nan")
+        nmse_d[name] = float(jnp.mean(nmse_h_projection(vec_est, ch.vec_h)))
+    return nmse_d, ang_d
+
+
+def _one_cell(key, sim: SimulationConfig, mt: int, mr: int,
+              searching_area: float):
+    """One (config, M) Monte-Carlo cell: channels -> sensing -> measurements
+    -> recovery -> metrics (ref: Vs_M_par.m:149-197)."""
+    cfg = sim.array
+    ks = jax.random.split(key, 4)
+    ch = generate_channel(ks[0], cfg, sim.channel, batch=sim.n_trials)
+    rep = sparse_formulation(cfg, ch, searching_area)
+    sensing = generate_sensing_matrix(
+        ks[1], sim.beam_method, mt, mr, cfg, rep.ad,
+        aod_range=(-searching_area / 2, searching_area / 2),
+        aoa_range=(-searching_area / 2, searching_area / 2),
+        batch=sim.n_trials)
+    meas = generate_measurement(ks[2], sensing.fw, ch.vec_h, sim.snr_db,
+                                sim.add_noise, w=sensing.w, mt=mt)
+    out = _recover_all(ks[3], sim, meas, sensing, rep, ch)
+    return _evaluate(out, rep, ch, sim)
+
+
+def sweep_measurements(key, m_grid: Sequence[int],
+                       sim: SimulationConfig = SimulationConfig(),
+                       searching_area: float = 60.0) -> SweepResult:
+    """Error vs measurement count (Vs_M)."""
+    nmse_acc: Dict[str, list] = {}
+    ang_acc: Dict[str, list] = {}
+    for i, m in enumerate(m_grid):
+        nm, an = _one_cell(jax.random.fold_in(key, i), sim, m, m,
+                           searching_area)
+        for k, v in nm.items():
+            nmse_acc.setdefault(k, []).append(v)
+        for k, v in an.items():
+            ang_acc.setdefault(k, []).append(v)
+    return SweepResult(grid=np.asarray(m_grid),
+                       nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
+                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
+
+
+def sweep_snr(key, snr_grid: Sequence[float], m: int,
+              sim: SimulationConfig = SimulationConfig(),
+              searching_area: float = 60.0) -> SweepResult:
+    """Error vs SNR (Vs_SNR)."""
+    nmse_acc: Dict[str, list] = {}
+    ang_acc: Dict[str, list] = {}
+    for i, snr in enumerate(snr_grid):
+        sim_i = dataclasses.replace(sim, snr_db=float(snr))
+        nm, an = _one_cell(jax.random.fold_in(key, i), sim_i, m, m,
+                           searching_area)
+        for k, v in nm.items():
+            nmse_acc.setdefault(k, []).append(v)
+        for k, v in an.items():
+            ang_acc.setdefault(k, []).append(v)
+    return SweepResult(grid=np.asarray(snr_grid),
+                       nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
+                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
+
+
+def measurements_needed_vs_range(key, ranges_deg: Sequence[float],
+                                 m_grid: Sequence[int],
+                                 nmse_target: float,
+                                 sim: SimulationConfig = SimulationConfig()
+                                 ) -> Dict[str, np.ndarray]:
+    """Search-range sweep: smallest M reaching the NMSE target per range.
+
+    ref: VS_SR_par.m:73-109 + sub_VS_SR_par.m.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for r_i, sr in enumerate(ranges_deg):
+        res = sweep_measurements(jax.random.fold_in(key, r_i), m_grid, sim,
+                                 searching_area=float(sr))
+        for name, curve in res.nmse.items():
+            arr = out.setdefault(name, np.full(len(ranges_deg), np.nan))
+            ok = np.where(curve <= nmse_target)[0]
+            arr[r_i] = m_grid[ok[0]] if len(ok) else np.nan
+    return out
+
+
+def infer_channel_windows(key, cb_rows, rss_amps, cfg: ArrayConfig,
+                          window: int = 200, n_windows: int = 30,
+                          admm: AdmmConfig = AdmmConfig()) -> np.ndarray:
+    """Windowed batch inference over a recorded RSS trace.
+
+    ref: Infer_channel_ADMM.m:147-171 — window i uses probes
+    [i*window, (i+1)*window); returns (n_windows, nr, nt) estimates.
+    """
+    ests = []
+    for i in range(n_windows):
+        sl = slice(i * window, (i + 1) * window)
+        res = solve_lowrank_multi(jax.random.fold_in(key, i),
+                                  jnp.asarray(cb_rows[sl]),
+                                  jnp.asarray(rss_amps[sl]),
+                                  cfg.nt, cfg.nr, admm)
+        ests.append(np.asarray(res.x).reshape(cfg.nt, cfg.nr).T)
+    return np.stack(ests)

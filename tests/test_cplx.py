@@ -1,0 +1,117 @@
+"""Pair-representation complex arithmetic must match the complex-dtype path
+bit-for-bit (up to float32 rounding) — it is the TPU production hot path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from twoace_tpu.ops import cplx
+from twoace_tpu.ops.prox import (
+    magnitude_prox,
+    profile_ladder,
+    spectral_profile_prox,
+)
+
+
+def _rand_c(rng, *shape):
+    return ((rng.normal(size=shape) + 1j * rng.normal(size=shape))
+            / np.sqrt(2)).astype(np.complex64)
+
+
+def test_pair_matmul_matches_complex():
+    rng = np.random.default_rng(0)
+    a = _rand_c(rng, 24, 16)
+    b = _rand_c(rng, 16, 8)
+    out = cplx.matmul(cplx.from_complex(a), cplx.from_complex(b))
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(out)), a @ b,
+                               atol=1e-5)
+    outh = cplx.matmul_herm_t(cplx.from_complex(a), cplx.from_complex(a))
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(outh)),
+                               a.conj().T @ a, atol=1e-5)
+
+
+def test_embedding_roundtrip():
+    rng = np.random.default_rng(1)
+    h = _rand_c(rng, 6, 6)
+    h = h + h.conj().T
+    emb = cplx.embed_hermitian(cplx.from_complex(h))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb).T, atol=1e-6)
+    back = cplx.unembed(emb, 6)
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(back)), h,
+                               atol=1e-6)
+    # embedded eigenvalues = duplicated complex eigenvalues
+    w_emb = np.linalg.eigvalsh(np.asarray(emb))[::-1]
+    w_c = np.linalg.eigvalsh(h)[::-1]
+    np.testing.assert_allclose(w_emb[0::2], w_c, atol=1e-5)
+
+
+def test_pair_magnitude_prox_matches():
+    rng = np.random.default_rng(2)
+    ax = _rand_c(rng, 20, 5)
+    md = _rand_c(rng, 20, 5)
+    b = rng.uniform(0.5, 2.0, 20).astype(np.float32)
+    mu = 0.37
+    ref = magnitude_prox(jnp.asarray(ax), jnp.asarray(b), jnp.asarray(md),
+                         mu, scale_by_row=True)
+    out = cplx.magnitude_prox_rows(cplx.from_complex(ax), jnp.asarray(b),
+                                   cplx.from_complex(md), mu)
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(out)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_pair_spectral_prox_matches():
+    rng = np.random.default_rng(3)
+    nt = nr = 8
+    z = _rand_c(rng, 64, 4)
+    ladder = profile_ladder(nt, nr, 100, 64, False)
+    ref = spectral_profile_prox(jnp.asarray(z), nt, nr, ladder)
+    out = cplx.spectral_profile_prox_pair(cplx.from_complex(z), nt, nr,
+                                          ladder, sweeps=10)
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(out)),
+                               np.asarray(ref), atol=2e-4)
+
+
+def test_pair_admm_iteration_matches_complex_iteration():
+    """One fused pair-form iteration == one complex-form iteration."""
+    rng = np.random.default_rng(4)
+    nt = nr = 4
+    n, m, r = 16, 40, 6
+    a = _rand_c(rng, m, n)
+    b = np.abs(_rand_c(rng, m)).astype(np.float32)
+    u = np.linalg.inv(a.conj().T @ a + np.eye(n)).astype(np.complex64)
+    y = _rand_c(rng, m, r)
+    z = _rand_c(rng, n, r)
+    md = _rand_c(rng, m, r)
+    nd = _rand_c(rng, n, r)
+    mu = 0.21
+    ladder = profile_ladder(nt, nr, m, n, False)
+
+    # complex reference
+    rhs = a.conj().T @ (y - md / mu) + (z - nd / mu)
+    x = u @ rhs
+    ax = a @ x
+    y_ref = np.asarray(magnitude_prox(jnp.asarray(ax), jnp.asarray(b),
+                                      jnp.asarray(md), mu, True))
+    z_ref = np.asarray(spectral_profile_prox(jnp.asarray(x + nd / mu), nt,
+                                             nr, ladder))
+
+    step = cplx.admm_iteration_pair(cplx.from_complex(a), jnp.asarray(b),
+                                    cplx.from_complex(u), nt, nr, ladder)
+    y2, z2, m2, n2, mu2 = step((cplx.from_complex(y), cplx.from_complex(z),
+                                cplx.from_complex(md), cplx.from_complex(nd),
+                                jnp.asarray(mu, jnp.float32)))
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(y2)), y_ref,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cplx.to_complex(z2)), z_ref,
+                               atol=1e-3)
+    np.testing.assert_allclose(float(mu2), mu * 1.03, rtol=1e-6)
+
+
+def test_graft_entry_contract():
+    """entry() must return a jittable fn + args that run on CPU."""
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    for o in out[:-1]:
+        assert np.isfinite(np.asarray(o)).all()

@@ -44,7 +44,12 @@ def _round_robin_pairs(n: int):
 
 def _rotation_matrix(a, p_idx, q_idx, eps):
     """Build the block unitary G of disjoint complex Givens rotations that
-    annihilate a[p, q] for each (p, q) pair under G^H a G."""
+    annihilate a[p, q] for each (p, q) pair under G^H a G.
+
+    Works for complex-Hermitian and real-symmetric ``a`` alike (for real
+    dtypes the phase factor degenerates to the sign and conj is a no-op) —
+    the real path is what the TPU pair-representation pipeline uses.
+    """
     n = a.shape[-1]
     app = jnp.real(a[..., p_idx, p_idx])           # (..., k)
     aqq = jnp.real(a[..., q_idx, q_idx])
@@ -57,34 +62,30 @@ def _rotation_matrix(a, p_idx, q_idx, eps):
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
     t = jnp.where(r > eps, t, 0.0)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
-    s = (t * c).astype(a.dtype) * phi              # complex sine
+    s = (t * c).astype(a.dtype) * phi              # complex (or signed) sine
 
-    batch = a.shape[:-2]
-    g = jnp.zeros(a.shape, a.dtype)
-    eye = jnp.eye(n, dtype=a.dtype)
-    g = jnp.broadcast_to(eye, a.shape)
+    g = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
     cc = c.astype(a.dtype)
     # columns p, q of G: G[:, p] = c e_p - conj(s) e_q ; G[:, q] = s e_p + c e_q
     g = g.at[..., p_idx, p_idx].set(cc)
     g = g.at[..., q_idx, q_idx].set(cc)
     g = g.at[..., q_idx, p_idx].set(-jnp.conj(s))
     g = g.at[..., p_idx, q_idx].set(s)
-    del batch
     return g
 
 
 def eigh_jacobi(a, sweeps: int = 8, eps: float = 1e-30):
-    """Eigendecomposition of a batched Hermitian matrix ``(..., n, n)``.
+    """Eigendecomposition of a batched Hermitian (or real symmetric) matrix
+    ``(..., n, n)``.
 
     Returns ``(w, v)`` with eigenvalues **descending** and
     ``a ~= v @ diag(w) @ v^H``.  Fixed trip count (``sweeps`` full cyclic
     sweeps) so the computation is a static XLA graph; quadratic convergence
-    makes 8 sweeps machine-precision for n <= 64.
+    makes 8 sweeps machine-precision for n <= 64.  Real inputs stay real
+    throughout (the TPU pair-representation path).
     """
     a = jnp.asarray(a)
     n = a.shape[-1]
-    if not jnp.issubdtype(a.dtype, jnp.complexfloating):
-        a = a.astype(jnp.complex64)
     if n == 1:
         w = jnp.real(a[..., 0, 0])[..., None]
         v = jnp.ones(a.shape, a.dtype)

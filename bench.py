@@ -38,8 +38,9 @@ NT = NR = 16
 N = NT * NR
 M = 4 * N
 R = 20
-BATCH = 32          # independent problem instances solved concurrently
-ITERS = 200         # scanned ADMM iterations per timed call
+BATCH = 256         # independent problem instances solved concurrently
+ITERS = 100         # scanned ADMM iterations per timed call
+SWEEPS = 4          # Jacobi sweeps in the Z-prox (prox-grade accuracy)
 
 
 def build_problem(seed: int = 0):
@@ -68,7 +69,8 @@ def make_step(ladder):
     from twoace_tpu.ops.cplx import admm_iteration_pair
 
     def run(a, b, u_mat, state):
-        step = admm_iteration_pair(a, b, u_mat, NT, NR, ladder)
+        step = admm_iteration_pair(a, b, u_mat, NT, NR, ladder,
+                                   sweeps=SWEEPS)
 
         def body(s, _):
             return step(s), None

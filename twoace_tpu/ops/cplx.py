@@ -169,7 +169,8 @@ def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
 
 
 def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,
-                        ladder: Sequence[Tuple[int, float]]):
+                        ladder: Sequence[Tuple[int, float]],
+                        sweeps: int = 6):
     """Build the fused pair-form 2ACE ADMM iteration.
 
     Returns ``step(state) -> state`` with state =
@@ -189,7 +190,8 @@ def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,
         ax = matmul(a, x)
         y_new = magnitude_prox_rows(ax, b, m_dual, mu)
         z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
-        z_new = spectral_profile_prox_pair(z_in, nt, nr, ladder)
+        z_new = spectral_profile_prox_pair(z_in, nt, nr, ladder,
+                                           sweeps=sweeps)
         m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
                      m_dual.im + mu * (ax.im - y_new.im))
         n_new = Pair(n_dual.re + mu * (x.re - z_new.re),

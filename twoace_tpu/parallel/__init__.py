@@ -6,3 +6,8 @@ from .mesh import (  # noqa: F401
     problem_sharding,
 )
 from .sharded_admm import solve_lowrank_sharded  # noqa: F401
+from .distributed import (  # noqa: F401
+    ScalingPoint,
+    initialize_multihost,
+    scaling_benchmark,
+)

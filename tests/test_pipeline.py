@@ -155,3 +155,61 @@ def test_simulation_sweep_runs(key):
     assert np.isfinite(res.nmse["plomp"]).all()
     # perfect/noisy-phase CS baselines ride along (ref Vs_M method set)
     assert "perfect_phase_cs" in res.nmse
+
+
+def test_simulated_mobility_budget_rule(key):
+    """track_simulated: budget shrinks by floor(M/5)+1 on success, grows on
+    failure (ref RSS_Mobility_simu.m:155-160); static channel locks in."""
+    from twoace_tpu.pipeline import SimulatedMobilityConfig, track_simulated
+
+    ch = _ground_truth(key)
+    p, n_windows = 24, 6
+    cb = random_codebook(key, p * n_windows, CFG.n).rows(normalize=True)
+    amps = jnp.abs(cb @ ch.vec_h[0])
+    mob = SimulatedMobilityConfig(window_probes=p, max_window=96,
+                                  m_init=20, m_max=20, threshold=0.3,
+                                  admm=FAST_ADMM)
+    trace = track_simulated(key, cb, amps, CFG, mob)
+    assert trace.probe_budget[0] == 20
+    for t in range(1, n_windows):
+        prev = trace.probe_budget[t - 1]
+        if trace.rss_error[t - 1] < mob.threshold:
+            assert trace.probe_budget[t] == max(0, prev - prev // 5 - 1)
+        else:
+            assert trace.probe_budget[t] == min(mob.m_max, prev + prev // 5 + 1)
+    # a static channel eventually predicts held-out RSS well
+    assert trace.rss_error[3:].min() < 0.3
+
+
+def test_brownian_trace_shapes(key):
+    from twoace_tpu.pipeline import SimulatedMobilityConfig, brownian_trace
+
+    mob = SimulatedMobilityConfig(window_probes=10)
+    cb, rss, vec_h = brownian_trace(key, CFG, mob, n_windows=4)
+    assert cb.shape == (40, CFG.n)
+    assert rss.shape == (40,)
+    assert vec_h.shape == (4, CFG.n)
+    # every probe's RSS is |row . vec_h| of its window's channel
+    np.testing.assert_allclose(
+        np.asarray(rss[:10]), np.abs(np.asarray(cb[:10]) @ np.asarray(vec_h[0])),
+        rtol=1e-5)
+
+
+def test_trace_sweep_wireless_insite(key):
+    """sweep_measurements_trace: unit-magnitude normalized trace channels
+    (ref Vs_M_Wireless_Insite.m:167-172) through the standard cell."""
+    from twoace_tpu.pipeline import sweep_measurements_trace
+
+    rng = np.random.default_rng(0)
+    h = rng.normal(size=(2, 4, 4)) + 1j * rng.normal(size=(2, 4, 4))
+    sim = SimulationConfig(
+        array=CFG,
+        channel=ChannelConfig(n_paths=1, rician_k=0),
+        snr_db=20.0,
+        methods=MethodFlags(admm_lowrank_v4=True, plomp=False, plgamp=False),
+        admm=FAST_ADMM)
+    res = sweep_measurements_trace(key, h, [12], sim, searching_area=90.0)
+    assert "admm_lowrank_v4" in res.nmse
+    assert np.isfinite(res.nmse["admm_lowrank_v4"]).all()
+    # the A2 estimate of a unit-modulus channel should carry signal
+    assert res.nmse["admm_lowrank_v4"][0] < 1.0

@@ -153,3 +153,63 @@ def test_svd_beamformer_gain(key):
     gain = np.abs(wt @ h @ wr) ** 2
     omni = np.abs(np.ones(8) @ h @ np.ones(8)) ** 2
     assert gain > omni
+
+
+def test_bayes_multiuser_prior(key):
+    """Multi-user A-opt: stacked priors select a valid, mostly-distinct design
+    and beat the first-M rows on the summed criterion."""
+    from twoace_tpu.sensing import directional_beam_bayes, noise_prior_from_vech
+
+    rng = np.random.default_rng(1)
+    n, c, m, u = 16, 128, 12, 3
+    cand = jnp.asarray((rng.normal(size=(c, n)) + 1j
+                        * rng.normal(size=(c, n))) / np.sqrt(2 * n))
+    vh = jnp.asarray(rng.normal(size=(u, n)) + 1j * rng.normal(size=(u, n)))
+    prior = noise_prior_from_vech(vh, snr_db=0.0)
+    assert prior.shape == (u, n, n)
+    sel = bayes_a_opt_select(key, cand, m, prior_k=prior)
+    assert sel.shape == (m,)
+
+    def crit(rows):
+        x = np.asarray(cand)[rows]
+        k = np.asarray(prior)
+        return sum(np.trace(np.linalg.inv(x.conj().T @ x + k[i])).real
+                   for i in range(u))
+
+    assert crit(np.asarray(sel)) <= crit(np.arange(m)) * 1.05
+
+
+def test_directional_beam_bayes_modes(key):
+    """Directional_Beam_Bayes: both candidate options produce unit-row fw on
+    the first user slot (ref Directional_Beam_Bayes.m:55-56)."""
+    from twoace_tpu.sensing import directional_beam_bayes
+
+    cfg = ArrayConfig(nt=4, nr=4)
+    rng = np.random.default_rng(2)
+    vh = jnp.asarray(rng.normal(size=(2, cfg.n)) + 1j
+                     * rng.normal(size=(2, cfg.n)))
+    for option in (1, 2):
+        sm = directional_beam_bayes(key, 3, 3, cfg, vh, snr_db=0.0,
+                                    option=option, candidate_size=12)
+        assert sm.fw.shape == (2, 9, cfg.n)
+        assert np.abs(np.asarray(sm.fw[0])).max() > 0
+        # only user slot 0 carries the design (ref :55-56)
+        assert np.abs(np.asarray(sm.fw[1])).max() == 0
+
+
+def test_directional_beam_bayes_v2(key):
+    """v2: sub-array steering candidates, quantized output beams."""
+    from twoace_tpu.sensing import directional_beam_bayes_v2
+
+    cfg = ArrayConfig(nt=8, nr=1)
+    ad = angle_dictionary(cfg, 180.0)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(2, cfg.nr, cfg.nt)) + 1j
+                    * rng.normal(size=(2, cfg.nr, cfg.nt)))
+    f, sel = directional_beam_bayes_v2(key, 2, 3, cfg, ad, h, n_users=2)
+    assert f.shape == (cfg.nt, 6)
+    # 2-bit quantized unit-modulus beams (ref :76-78, Quantize_PS.m:62-74)
+    phases = np.angle(np.asarray(f) * np.sqrt(cfg.nt))
+    grid = np.round(phases / (np.pi / 2)) * (np.pi / 2)
+    np.testing.assert_allclose(np.mod(phases - grid, 2 * np.pi).min(), 0,
+                               atol=1e-5)

@@ -1,4 +1,11 @@
-from .mobility import MobilityConfig, MobilityTrace, track  # noqa: F401
+from .mobility import (  # noqa: F401
+    MobilityConfig,
+    MobilityTrace,
+    SimulatedMobilityConfig,
+    brownian_trace,
+    track,
+    track_simulated,
+)
 from .recovery import (  # noqa: F401
     CampaignConfig,
     RecoveryOutput,
@@ -15,6 +22,7 @@ from .simulation import (  # noqa: F401
     infer_channel_windows,
     measurements_needed_vs_range,
     sweep_measurements,
+    sweep_measurements_trace,
     sweep_snr,
 )
 from .testbed import TestbedConfig, TestbedRunner  # noqa: F401

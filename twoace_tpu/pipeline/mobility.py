@@ -90,3 +90,94 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
         estimates[t] = np.asarray(h)
     return MobilityTrace(rss_error=errors, probe_budget=budgets,
                         estimates=estimates)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulatedMobilityConfig:
+    """ref: RSS_Mobility_simu.m:112-115,133-163."""
+
+    window_probes: int = 100    #: probes per time window
+    max_window: int = 400       #: sliding-window probe cap
+    threshold: float = 0.2      #: rss-error threshold driving the budget
+    m_init: int = 80            #: initial probe budget
+    m_max: int = 80             #: probe-budget cap
+    max_angle_change_deg: float = 1.0  #: Brownian per-window angle jitter
+    admm: AdmmConfig = AdmmConfig()
+
+
+def brownian_trace(key, cfg: ArrayConfig,
+                   mob: SimulatedMobilityConfig = SimulatedMobilityConfig(),
+                   n_windows: int = 20, channel_cfg=None):
+    """Synthesize a Brownian-mobility probe stream.
+
+    Stands in for the reference's pregenerated
+    ``rss_trace_movement_simu_12x12_brownian`` dataset
+    (ref: RSS_Mobility_simu.m:100-105): per window the channel's AoD/AoA
+    random-walk by <= ``max_angle_change_deg`` (Generate_Dynamic_Channel
+    semantics) and every probe is an independent random 2-bit phase row.
+    Returns ``(cb_rows, rss_amps, vec_h_per_window)``.
+    """
+    from ..config import ChannelConfig
+    from ..models.channel import generate_channel, perturb_channel
+    from ..sensing.codebooks import random_sensing_rows
+
+    if channel_cfg is None:
+        channel_cfg = ChannelConfig(n_paths=2)
+    p = mob.window_probes
+    kc, kb = jax.random.split(key)
+    ch = generate_channel(kc, cfg, channel_cfg, batch=1)
+    cb = random_sensing_rows(kb, n_windows * p, cfg.n, cfg.phase_bit)
+
+    vec_hs = []
+    for t in range(n_windows):
+        ch = perturb_channel(jax.random.fold_in(kc, t + 1), ch, cfg,
+                             mob.max_angle_change_deg)
+        vec_hs.append(ch.vec_h[0])
+    vec_h = jnp.stack(vec_hs)                            # (T, n)
+    rss = jnp.abs(jnp.einsum("tpn,tn->tp",
+                             cb.reshape(n_windows, p, -1), vec_h))
+    return cb, rss.reshape(-1), vec_h
+
+
+def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
+                    mob: SimulatedMobilityConfig = SimulatedMobilityConfig(),
+                    solver: Optional[Callable] = None) -> MobilityTrace:
+    """Adaptive tracking with the simulated-trace budget rule.
+
+    ref: RSS_Mobility_simu.m:133-163 — window t contributes its first M
+    probes to a sliding window capped at ``max_window``; the estimate is
+    scored on the *held-out remainder* of the window (probes M+1..P), and the
+    budget shrinks ``M <- max(0, M - floor(M/5) - 1)`` on success or grows
+    ``M <- min(m_max, M + floor(M/5) + 1)`` on failure.
+    """
+    n = cfg.n
+    p = mob.window_probes
+    n_windows = cb_rows.shape[0] // p
+
+    if solver is None:
+        def solver(k, a, b):
+            return solve_lowrank_multi(k, a, b, cfg.nt, cfg.nr, mob.admm).x
+
+    m_budget = mob.m_init
+    window: List[int] = []
+    errors = np.zeros(n_windows)
+    budgets = np.zeros(n_windows, np.int64)
+    estimates = np.zeros((n_windows, n), np.complex128)
+
+    for t in range(n_windows):
+        budgets[t] = m_budget
+        start = t * p
+        window = (window + list(range(start, start + m_budget)))[-mob.max_window:]
+        idx = jnp.asarray(window)
+        h = solver(jax.random.fold_in(key, t), cb_rows[idx], rss_amps[idx])
+        estimates[t] = np.asarray(h)
+
+        test = jnp.arange(start + m_budget, start + p)
+        err = float(rss_prediction_error(h, cb_rows[test], rss_amps[test]))
+        errors[t] = err
+        if err < mob.threshold:
+            m_budget = max(0, m_budget - m_budget // 5 - 1)
+        else:
+            m_budget = min(mob.m_max, m_budget + m_budget // 5 + 1)
+    return MobilityTrace(rss_error=errors, probe_budget=budgets,
+                        estimates=estimates)

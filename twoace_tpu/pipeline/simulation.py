@@ -194,6 +194,51 @@ def measurements_needed_vs_range(key, ranges_deg: Sequence[float],
     return out
 
 
+def sweep_measurements_trace(key, h_traces, m_grid: Sequence[int],
+                             sim: SimulationConfig = SimulationConfig(),
+                             searching_area: float = 180.0,
+                             normalize: bool = True) -> SweepResult:
+    """Error vs measurement count on externally supplied channel traces.
+
+    ref: Numerical_Simulation/main_programs/Vs_M_Wireless_Insite.m:140-233 —
+    instead of Eq.-23 synthetic channels, each Monte-Carlo instance wraps one
+    ray-traced / measured H via ``construct_channel_representation`` (per-entry
+    magnitude normalization ``H ./ abs(H)``, ref :167-172), then runs the same
+    sensing -> measurement -> recovery -> evaluation cell.  Angle metrics are
+    reported as NaN (trace channels carry no ground-truth path angles).
+    """
+    from ..models.channel import from_matrix
+
+    ch = from_matrix(jnp.asarray(h_traces), normalize=normalize)
+    cfg = sim.array
+    sim = dataclasses.replace(sim, n_trials=ch.h_matrix.shape[0])
+    nmse_acc: Dict[str, list] = {}
+    ang_acc: Dict[str, list] = {}
+    for i, m in enumerate(m_grid):
+        ks = jax.random.split(jax.random.fold_in(key, i), 3)
+        rep = sparse_formulation(cfg, ch, searching_area)
+        sensing = generate_sensing_matrix(
+            ks[0], sim.beam_method, m, m, cfg, rep.ad,
+            aod_range=(-searching_area / 2, searching_area / 2),
+            aoa_range=(-searching_area / 2, searching_area / 2),
+            batch=sim.n_trials)
+        meas = generate_measurement(ks[1], sensing.fw, ch.vec_h, sim.snr_db,
+                                    sim.add_noise, w=sensing.w, mt=m)
+        out = _recover_all(ks[2], sim, meas, sensing, rep, ch)
+        for name, est in out.items():
+            est_j = jnp.asarray(est)
+            if est_j.shape[-1] == rep.ad.shape[1]:
+                vec_est = jnp.einsum("np,up->un", rep.ad, est_j)
+            else:
+                vec_est = est_j
+            nmse_acc.setdefault(name, []).append(
+                float(jnp.mean(nmse_h_projection(vec_est, ch.vec_h))))
+            ang_acc.setdefault(name, []).append(float("nan"))
+    return SweepResult(grid=np.asarray(m_grid),
+                       nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
+                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
+
+
 def infer_channel_windows(key, cb_rows, rss_amps, cfg: ArrayConfig,
                           window: int = 200, n_windows: int = 30,
                           admm: AdmmConfig = AdmmConfig()) -> np.ndarray:

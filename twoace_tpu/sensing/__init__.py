@@ -1,4 +1,8 @@
-from .bayes_opt import bayes_a_opt_select, prior_from_channel  # noqa: F401
+from .bayes_opt import (  # noqa: F401
+    bayes_a_opt_select,
+    noise_prior_from_vech,
+    prior_from_channel,
+)
 from .codebooks import (  # noqa: F401
     Codebook,
     aco_sweep_codebook,
@@ -14,4 +18,10 @@ from .codebooks import (  # noqa: F401
     svd_beamformer_bits,
     sweep_codebook,
 )
-from .sensing_matrix import SensingMatrix, generate_sensing_matrix, pick_beams  # noqa: F401
+from .sensing_matrix import (  # noqa: F401
+    SensingMatrix,
+    directional_beam_bayes,
+    directional_beam_bayes_v2,
+    generate_sensing_matrix,
+    pick_beams,
+)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ArrayConfig
-from .bayes_opt import bayes_a_opt_select
+from .bayes_opt import bayes_a_opt_select, noise_prior_from_vech, prior_from_channel
 from .codebooks import (
     directional_beams_angular,
     directional_beams_spatial,
@@ -95,6 +95,91 @@ def generate_sensing_matrix(key, method: str, mt: int, mr: int,
 
     meas_mat = jnp.einsum("umn,np->ump", fw, ad.astype(fw.dtype))
     return SensingMatrix(f=f, w=w, fw=fw, measurement_mat=meas_mat)
+
+
+def directional_beam_bayes(key, mt: int, mr: int, cfg: ArrayConfig,
+                           vec_h_users, snr_db: float = 0.0,
+                           option: int = 2,
+                           candidate_size: int = 90) -> SensingMatrix:
+    """Multi-user Bayes-A-optimal probing beams over a Tx x Rx candidate kron.
+
+    ref: main/src/generate_sensing_matrix/Directional_Beam_Bayes.m:17-57 —
+    candidates are either directional sectors (``option=1``, ref :25-28) or
+    random 2-bit Tx/Rx beams (``option=2``, ref :29-39), combined as
+    ``kron(F^T, W^H)``; each user's prior is the diagonal noise precision
+    ``db2pow(SNR) * diag(vecH_u^-1)`` (ref :41-48).  As in the reference, the
+    selected rows are returned on the first user slot of ``fw`` (ref :55-56).
+    """
+    n = cfg.n
+    m = mt * mr
+    vh = jnp.asarray(vec_h_users)
+    if vh.ndim == 1:
+        vh = vh[None]
+    batch = vh.shape[0]
+
+    if option == 1:
+        f_try, w_try = directional_beams_angular(candidate_size, candidate_size,
+                                                 cfg, (-90.0, 90.0),
+                                                 (-90.0, 90.0))
+    else:
+        k1, k2 = jax.random.split(key)
+        np_levels = cfg.phase_bit ** 2
+        bits_t = jax.random.randint(k1, (cfg.nt, candidate_size), 0, np_levels)
+        f_try = jnp.exp(1j * bits_t * (jnp.pi / np_levels)) / math.sqrt(cfg.nt)
+        bits_r = jax.random.randint(k2, (cfg.nr, candidate_size), 0, np_levels)
+        w_try = jnp.exp(1j * bits_r * (jnp.pi / np_levels)) / math.sqrt(cfg.nr)
+    cand = _kron_fw(f_try, w_try)                       # (cand^2, n)
+
+    prior = noise_prior_from_vech(vh, snr_db)           # (U, n, n)
+    sel = bayes_a_opt_select(jax.random.fold_in(key, 7), cand, m,
+                             prior_k=prior)
+    fw = jnp.zeros((batch, m, n), cand.dtype).at[0].set(cand[sel])
+    return SensingMatrix(f=jnp.zeros((cfg.nt, mt), cand.dtype),
+                         w=jnp.zeros((batch, cfg.nr, mr), cand.dtype),
+                         fw=fw, measurement_mat=fw)
+
+
+def directional_beam_bayes_v2(key, mt: int, mr: int, cfg: ArrayConfig, ad,
+                              h_users, snr_db: float = 0.0,
+                              n_users: Optional[int] = None):
+    """Multi-user MISO Bayes beams: sub-array steering candidates, priors
+    from each user's channel estimate.
+
+    ref: main/src/generate_sensing_matrix/Directional_Beam_Bayes_v2.m:27-81 —
+    the Tx array is split into ``n_users`` contiguous groups of
+    ``floor(nt/U)`` antennas, each carrying the same steering vector
+    (ref :36-43); candidates live in the sparse domain ``F^T AD``
+    (ref :51-56); per-user priors come from ``find_K`` on the user's channel
+    estimate (ref :52-55); the selected columns are 2-bit quantized
+    (ref :76-78).  Returns ``(f_selected, indices)``.
+    """
+    from ..utils.metrics import quantize_ps
+
+    u = n_users if n_users is not None else (
+        h_users.shape[0] if jnp.asarray(h_users).ndim == 3 else 1)
+    h_users = jnp.asarray(h_users)
+    if h_users.ndim == 2:
+        h_users = h_users[None]
+    ad = jnp.asarray(ad)
+    p = ad.shape[1]
+    m = mt * mr
+
+    aod_deg = jnp.arange(-90.0, 91.0)
+    n_sep = cfg.nt // u
+    base = jnp.exp(-1j * cfg.k_d * jnp.sin(jnp.deg2rad(aod_deg))[:, None]
+                   * jnp.arange(n_sep)[None, :]) / math.sqrt(cfg.nt)
+    f_try = jnp.tile(base, (1, u))[:, :cfg.nt].T            # (nt, 181)
+
+    scale = math.sqrt(10.0 ** (snr_db / 10.0))
+    cand = (scale * f_try).T @ ad.astype(f_try.dtype)       # (181, P)
+
+    prior = jnp.stack([prior_from_channel(h_users[i % h_users.shape[0]],
+                                          cfg, p)
+                       for i in range(u)])
+    sel = bayes_a_opt_select(jax.random.fold_in(key, 11), cand, m,
+                             prior_k=prior)
+    f_quant = quantize_ps(f_try, cfg.phase_bit)
+    return f_quant[:, sel], sel
 
 
 def pick_beams(key, method: str, m: int, cb_train,

@@ -213,3 +213,51 @@ def test_trace_sweep_wireless_insite(key):
     assert np.isfinite(res.nmse["admm_lowrank_v4"]).all()
     # the A2 estimate of a unit-modulus channel should carry signal
     assert res.nmse["admm_lowrank_v4"][0] < 1.0
+
+
+def test_directional_campaign_and_aco(key):
+    """Campaign 3 + ACO: the ACO-calibrated beam pair should beat a random
+    2-bit beam pair on the same channel (ref main.py:183-220, 398-419)."""
+    from twoace_tpu.sensing.codebooks import kron_probe_rows as kpr
+
+    ch = _ground_truth(key)
+    prov = SyntheticProvider(vec_h=ch.vec_h[0], noise_dbm_std=0.0)
+    runner = TestbedRunner(TestbedConfig(array=CFG, n_directional=6), prov,
+                           key=key)
+    runner.run_directional_campaign()
+    assert runner.results["directional"]["rss_dbm"].shape == (36,)
+
+    wt_aco, wr_aco = runner.collect_aco()
+    assert wt_aco.shape == (CFG.nt,) and wr_aco.shape == (CFG.nr,)
+    step = 2 * np.pi / 4
+    wt = jnp.exp(1j * wt_aco * step) / np.sqrt(CFG.nt)
+    wr = jnp.exp(1j * wr_aco * step) / np.sqrt(CFG.nr)
+    aco_rss = prov.measure(kpr(wt[None, None, :], wr[None, :]))[0]
+    rng = np.random.default_rng(0)
+    rnd_rss = []
+    for _ in range(8):
+        bt = jnp.asarray(rng.integers(0, 4, CFG.nt))
+        br = jnp.asarray(rng.integers(0, 4, CFG.nr))
+        w1 = jnp.exp(1j * bt * step) / np.sqrt(CFG.nt)
+        w2 = jnp.exp(1j * br * step) / np.sqrt(CFG.nr)
+        rnd_rss.append(prov.measure(
+            kpr(w1[None, None, :], w2[None, :]))[0])
+    assert aco_rss > np.mean(rnd_rss)
+
+
+def test_evaluation_codebook_rss(key):
+    """codebook_generator equivalent: per-method SVD beams + ACO + probe
+    sectors, measured in one go (ref codebook_library.py:192-451)."""
+    ch = _ground_truth(key)
+    # 3e-4 amplitude scale keeps the synthetic RSSI word off its clip
+    prov = SyntheticProvider(vec_h=ch.vec_h[0] * 3e-4, noise_dbm_std=0.0)
+    runner = TestbedRunner(TestbedConfig(array=CFG), prov, key=key)
+    h_est = np.stack([np.asarray(ch.vec_h[0])] * 2)
+    rss, txb, rxb = runner.evaluate_codebook_rss(
+        h_est, h_directional=ch.vec_h[0],
+        aco_bits=(jnp.zeros(CFG.nt, jnp.int32), jnp.zeros(CFG.nr, jnp.int32)),
+        n_probe=5)
+    # 2 estimates + 1 directional + 1 ACO + 5 probes
+    assert rss.shape == (9,) and txb.shape == (9, CFG.nt)
+    # the SVD beam of the true channel should beat the random probe sectors
+    assert rss[0] > np.mean(rss[-5:])

@@ -24,9 +24,14 @@ import jax.numpy as jnp
 from ..config import ArrayConfig, MethodFlags
 from ..sensing.codebooks import (
     Codebook,
+    aco_sweep_codebook,
+    conj_phase_bits,
+    directional_beams_angular,
+    evaluation_codebook,
     kron_probe_rows,
     multires_codebook,
     random_codebook,
+    rss_to_csi,
     svd_beamformer_bits,
     sweep_codebook,
 )
@@ -37,7 +42,9 @@ from .recovery import (
     CampaignConfig,
     recover_a2nuclear,
     recover_a2only,
+    recover_directional,
     recover_multiresolution,
+    recover_phaselift,
 )
 
 
@@ -123,6 +130,62 @@ class TestbedRunner:
         self._measure_rounds("random", tx, rx)
         return self
 
+    def run_directional_campaign(self):
+        """Campaign 3: directional sectors, n_directional Rx beams x
+        n_directional Tx sectors (ref: main.py:183-220)."""
+        cfg = self.cfg.array
+        nd = self.cfg.n_directional
+        f, w = directional_beams_angular(nd, nd, cfg, (-90.0, 90.0),
+                                         (-90.0, 90.0))
+        tx = jnp.broadcast_to(f.T[None], (nd, nd, cfg.nt))   # all Tx sectors
+        rx = w.T                                             # one Rx beam/round
+        self._measure_rounds("directional", tx, rx)
+        return self
+
+    def collect_aco(self, tx_bits=None, rx_bits=None):
+        """ACO calibration: per-antenna phase sweeps on each side, 4-point
+        DFT phase recovery, conjugate 2-bit codeword.
+
+        ref: main.py:398-419 -> codebook_library.py collect_ACO_tx (:528-582),
+        collect_ACO_rx (:164-190), rss2csi (:518-526),
+        get_ACO_codebook_bit (:584-591).  ``tx_bits``/``rx_bits``: fixed
+        far-side beams held during the sweep (default all-zeros sector).
+        Returns ``(wt_aco_bits, wr_aco_bits)``.
+        """
+        cfg = self.cfg.array
+        nps = 2 ** cfg.phase_bit
+        if tx_bits is None:
+            tx_bits = jnp.zeros((cfg.nt,), jnp.int32)
+        if rx_bits is None:
+            rx_bits = jnp.zeros((cfg.nr,), jnp.int32)
+        tx_fixed = jnp.exp(1j * tx_bits * (2 * np.pi / nps)) / np.sqrt(cfg.nt)
+        rx_fixed = jnp.exp(1j * rx_bits * (2 * np.pi / nps)) / np.sqrt(cfg.nr)
+
+        out_bits = []
+        for side, n_ant, far in (("rx", cfg.nr, tx_fixed),
+                                 ("tx", cfg.nt, rx_fixed)):
+            sweep = aco_sweep_codebook(n_ant, phase_bit=cfg.phase_bit)
+            masks = sweep.rows()                        # (n_ant*nps, n_ant)
+            n_masks = masks.shape[0]
+            if side == "rx":
+                tx_r = jnp.broadcast_to(far[None, None, :],
+                                        (n_masks, 1, cfg.nt))
+                rows = kron_probe_rows(tx_r, masks)
+            else:
+                rx_r = jnp.broadcast_to(far[None, :], (n_masks, cfg.nr))
+                rows = kron_probe_rows(masks[:, None, :], rx_r)
+            rss_dbm = np.concatenate(
+                [self.provider.measure(rows[i:i + 1])
+                 for i in range(rows.shape[0])])
+            rss_lin = 10.0 ** (jnp.asarray(rss_dbm) / 10.0)
+            csi = rss_to_csi(rss_lin, n_ant, cfg.phase_bit)
+            out_bits.append(conj_phase_bits(csi, cfg.phase_bit))
+        wr_aco, wt_aco = out_bits
+        if self.store:
+            self.store.save("aco", {"wt_bits": np.asarray(wt_aco),
+                                    "wr_bits": np.asarray(wr_aco)})
+        return wt_aco, wr_aco
+
     def run_multires_campaign(self):
         """Campaign 5: three-tier multires probing with sector-major
         interleave (ref: main.py:317-394, processsing_codebook_multires.m:60)."""
@@ -148,7 +211,9 @@ class TestbedRunner:
         data = self.results[campaign]
         recover = {"a2only": recover_a2only,
                    "a2nuclear": recover_a2nuclear,
-                   "multiresolution": recover_multiresolution}[method]
+                   "multiresolution": recover_multiresolution,
+                   "phaselift": recover_phaselift,
+                   "directional": recover_directional}[method]
         kwargs = {"cc": cc} if cc is not None else {}
         out = recover(jnp.asarray(data["rows"]), jnp.asarray(data["rss_dbm"]),
                       seed_id=seed_id, **kwargs)
@@ -164,14 +229,45 @@ class TestbedRunner:
         cfg = self.cfg.array
         rss_bf: Dict[str, float] = {}
         for name, vec_h in h_estimates.items():
-            h = np.asarray(unvec_channel(jnp.asarray(vec_h), cfg.nr, cfg.nt))
-            wt_bits, wr_bits = svd_beamformer_bits(jnp.asarray(h),
-                                                   cfg.phase_bit)
+            # (nt, nr) orientation: vec(H) is Rx-fastest, and the beamformer
+            # expects rows = Tx antennas (ref: codebook_generator reshape
+            # [num_tx_ant, num_rx_ant], codebook_library.py:197)
+            h = jnp.asarray(vec_h).reshape(cfg.nt, cfg.nr)
+            wt_bits, wr_bits = svd_beamformer_bits(h, cfg.phase_bit)
             wt = jnp.exp(1j * wt_bits * (np.pi / 2))
             wr = jnp.exp(1j * wr_bits * (np.pi / 2))
-            row = kron_probe_rows(wt[None, None, :], jnp.conj(wr)[None, :])
+            # beams enter the measurement UNconjugated, matching the codebook
+            # model rss = |kron(tx, rx) . vecH| (processsing_codebook_random.m
+            # :54-62) that the recovery was trained under
+            row = kron_probe_rows(wt[None, None, :], wr[None, :])
             rss_bf[name] = float(self.provider.measure(row)[0])
         if self.store:
             self.store.save("beamforming", {
                 k: np.asarray(v) for k, v in rss_bf.items()})
         return rss_bf
+
+    def evaluate_codebook_rss(self, h_estimates, h_directional=None,
+                              aco_bits=None, compensation=None,
+                              n_probe: int = 50):
+        """Assemble the full on-air evaluation codebook (SVD beams per
+        estimate, directional beams, ACO beam, probe sectors) and measure
+        every beam's RSS (ref: main.py:452-481 + codebook_generator)."""
+        cfg = self.cfg.array
+        nps = 2 ** cfg.phase_bit
+        wt_aco, wr_aco = (aco_bits if aco_bits is not None else (None, None))
+        tx_bits, rx_bits = evaluation_codebook(
+            jax.random.fold_in(self.key, 6), jnp.asarray(h_estimates),
+            h_directional=h_directional, wt_aco_bits=wt_aco,
+            wr_aco_bits=wr_aco, nt=cfg.nt, nr=cfg.nr,
+            phase_bit=cfg.phase_bit, compensation=compensation,
+            n_probe=n_probe)
+        tx = jnp.exp(1j * tx_bits * (2 * np.pi / nps)) / np.sqrt(cfg.nt)
+        rx = jnp.exp(1j * rx_bits * (2 * np.pi / nps)) / np.sqrt(cfg.nr)
+        # unconjugated kron: the convention the SVD/ACO beams maximize under
+        rows = kron_probe_rows(tx[:, None, :], rx)
+        rss = np.asarray(self.provider.measure(rows))
+        if self.store:
+            self.store.save("evaluation_codebook", {
+                "rss_dbm": rss, "tx_bits": np.asarray(tx_bits),
+                "rx_bits": np.asarray(rx_bits)})
+        return rss, np.asarray(tx_bits), np.asarray(rx_bits)

@@ -9,6 +9,7 @@ from .codebooks import (  # noqa: F401
     conj_phase_bits,
     directional_beams_angular,
     directional_beams_spatial,
+    evaluation_codebook,
     kron_probe_rows,
     multires_codebook,
     random_codebook,

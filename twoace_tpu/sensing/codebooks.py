@@ -306,13 +306,17 @@ def kron_probe_rows(tx_rows, rx_rows, interleave: bool = False):
     return cb.reshape(rounds * sectors, nt_ * nr_)
 
 
-def svd_beamformer_bits(h, phase_bit: int = 2):
+def svd_beamformer_bits(h, phase_bit: int = 2, compensation=None):
     """Best 2-bit Tx/Rx beam pair from an (estimated) channel matrix.
 
     Quantize the conjugated phases of all right/left singular vectors, then
     exhaustively pick the (tx, rx) singular-vector pair maximizing predicted
     RSS ``|w_t^T H w_r|^2``.  Returns integer bit vectors ``(wt, wr)``.
     ref: main/codebook_library.py:57-95 (svd_beamformer).
+
+    ``compensation``: per-antenna hardware phase offsets (radians) subtracted
+    from the winning beam before the final bit rounding
+    (ref: svd_beamformer_compensation, codebook_library.py:97-135).
     """
     nps = 2 ** phase_bit
     step = 2.0 * np.pi / nps
@@ -327,6 +331,58 @@ def svd_beamformer_bits(h, phase_bit: int = 2):
     gain = jnp.abs(jnp.einsum("ti,tr,rj->ij", wt, h, wr)) ** 2
     idx = jnp.argmax(gain)
     i, j = idx // gain.shape[1], idx % gain.shape[1]
-    wt_bits = jnp.round(jnp.angle(wt[:, i]) / step).astype(jnp.int32) % nps
-    wr_bits = jnp.round(jnp.angle(wr[:, j]) / step).astype(jnp.int32) % nps
+    wt_win, wr_win = wt[:, i], wr[:, j]
+    if compensation is not None:
+        comp = jnp.exp(-1j * jnp.asarray(compensation))
+        wt_win = wt_win * comp[:wt_win.shape[0]]
+        wr_win = wr_win * comp[:wr_win.shape[0]]
+    wt_bits = jnp.round(jnp.angle(wt_win) / step).astype(jnp.int32) % nps
+    wr_bits = jnp.round(jnp.angle(wr_win) / step).astype(jnp.int32) % nps
     return wt_bits, wr_bits
+
+
+def evaluation_codebook(key, h_estimates, h_directional=None,
+                        wt_aco_bits=None, wr_aco_bits=None,
+                        nt: int = 16, nr: int = 16, phase_bit: int = 2,
+                        compensation=None, n_probe: int = 50):
+    """Assemble the on-air evaluation codebook from recovered channels.
+
+    ref: main/codebook_library.py:192-451 (codebook_generator) — one SVD
+    beam pair per estimated H (the first with hardware-offset compensation,
+    ref :197-200), one per directional-H estimate (ref :205-209), the ACO
+    codeword pair (ref :211-212), and a block of fixed probe sectors
+    (ref :215-300: hard-coded hardware-calibrated tables; here random 2-bit
+    sectors, since the originals encode chip-specific calibration).
+
+    Returns ``(tx_bits, rx_bits)`` int32 arrays of shape (K, nt) / (K, nr).
+    """
+    tx, rx = [], []
+    h_estimates = jnp.asarray(h_estimates)
+    if h_estimates.ndim == 1:
+        h_estimates = h_estimates[None]
+    for i in range(h_estimates.shape[0]):
+        h = h_estimates[i].reshape(nt, nr)
+        comp = compensation if i == 0 else None
+        wt_b, wr_b = svd_beamformer_bits(h, phase_bit, compensation=comp)
+        tx.append(wt_b)
+        rx.append(wr_b)
+    if h_directional is not None:
+        h_directional = jnp.asarray(h_directional)
+        if h_directional.ndim == 1:
+            h_directional = h_directional[None]
+        for i in range(h_directional.shape[0]):
+            h = h_directional[i].reshape(nt, nr)
+            wt_b, wr_b = svd_beamformer_bits(h, phase_bit)
+            tx.append(wt_b)
+            rx.append(wr_b)
+    if wt_aco_bits is not None:
+        tx.append(jnp.asarray(wt_aco_bits, jnp.int32))
+        rx.append(jnp.asarray(wr_aco_bits, jnp.int32))
+    if n_probe > 0:
+        k1, k2 = jax.random.split(key)
+        nps = 2 ** phase_bit
+        tx.append(jax.random.randint(k1, (n_probe, nt), 0, nps))
+        rx.append(jax.random.randint(k2, (n_probe, nr), 0, nps))
+    tx_bits = jnp.concatenate([jnp.atleast_2d(t) for t in tx], axis=0)
+    rx_bits = jnp.concatenate([jnp.atleast_2d(r) for r in rx], axis=0)
+    return tx_bits.astype(jnp.int32), rx_bits.astype(jnp.int32)

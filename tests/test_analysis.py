@@ -90,3 +90,22 @@ def test_antenna_phase_shift_recovery():
     est = antenna_phase_shifts(measured_phase, ideal)
     err = np.angle(np.exp(1j * (est - true_off)))
     np.testing.assert_allclose(err, 0.0, atol=1e-8)
+
+
+def test_subset_sweep_rss_monotone(key):
+    """Larger sweep subsets find better beams on average
+    (ref show_beamforming_data.m:42-49)."""
+    from twoace_tpu.ops.beamsweep import aggregate_beamforming, subset_sweep_rss
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.normal(size=(16, 16)) * 3 - 60)
+    small = float(subset_sweep_rss(key, grid, 2, n_runs=500))
+    large = float(subset_sweep_rss(key, grid, 12, n_runs=500))
+    full = float(jnp.max(grid))
+    assert small < large <= full + 1e-6
+
+    agg = aggregate_beamforming(
+        {"a2": np.asarray([-60.0, -55.0])}, rss_sweep_phi=grid,
+        m_grid=[2, 12], key=key, n_runs=200)
+    assert agg["a2"].shape == (2,)
+    assert agg["sweep_phi"][0] < agg["sweep_phi"][1]

@@ -203,3 +203,24 @@ def test_recover_channel_multi_method(key):
     for v in out.values():
         assert v.shape == (n,)
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_unconventional_cs_unit_norm(key):
+    """Norm-constrained ridge LS: ||x|| = 1 when achievable in lam ∈ [0,1]
+    (ref My_Unconventional_CS.m:12-15)."""
+    from twoace_tpu.ops.cpr_baselines import unconventional_cs
+
+    rng = np.random.default_rng(0)
+    m, n = 40, 16
+    # small-amplitude A so lam in [0, 1] (the reference's fmincon bounds)
+    # can actually reach ||x|| = 1
+    f = 0.05 * jnp.asarray(rng.normal(size=(n, m)) + 1j * rng.normal(size=(n, m)))
+    x_true = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    x_true = 3.0 * x_true / jnp.linalg.norm(x_true)   # needs shrinking
+    b = f.T @ x_true
+    x = unconventional_cs(b, f)
+    np.testing.assert_allclose(float(jnp.linalg.norm(x)), 1.0, rtol=1e-3)
+    # direction is preserved (ridge shrinks, does not rotate, here since
+    # b lies in the row space)
+    corr = np.abs(np.vdot(np.asarray(x), np.asarray(x_true)))
+    assert corr / (np.linalg.norm(x_true)) > 0.8

@@ -77,3 +77,56 @@ def sweep_channel(key, vec_h, cfg: ArrayConfig, mt: int, mr: int,
         noise = 10.0 ** (-snr_db / 10.0)
         power = power + noise * jax.random.exponential(key, power.shape)
     return beam_sweep(power, f_set, w_set, cfg, mt, mr)
+
+
+@partial(jax.jit, static_argnames=("m", "n_runs"))
+def subset_sweep_rss(key, rss_matrix, m: int, n_runs: int = 10000):
+    """Expected best RSS of sector sweeping with an m-beam random subset.
+
+    ref: main/show_beamforming_data.m:42-49 (beam_sweeping) — draw ``m`` of
+    the ``total`` sweep beams (the same subset on both link ends), take the
+    max RSS of the induced submatrix, and average over ``n_runs`` draws.
+    ``rss_matrix``: (total, total) sweep RSS grid.
+    """
+    rss_matrix = jnp.asarray(rss_matrix)
+    total = rss_matrix.shape[0]
+
+    def one(k):
+        idx = jax.random.choice(k, total, (m,), replace=False)
+        return jnp.max(rss_matrix[jnp.ix_(idx, idx)])
+
+    return jnp.mean(jax.vmap(one)(jax.random.split(key, n_runs)))
+
+
+def aggregate_beamforming(rss_bf, rss_sweep_phi=None, rss_sweep_theta=None,
+                          m_grid=None, key=None, n_runs: int = 10000):
+    """Aggregate on-air beamforming results into the per-M comparison table.
+
+    ref: main/show_beamforming_data.m:19-38 — per probe budget M: the best
+    exhaustive-sweep RSS (column 1, averaged over the grid), the simulated
+    random-subset sector sweeps for the phi / theta+phi codebooks (columns
+    2-3), and each method's best measured beam RSS.
+
+    ``rss_bf``: {method: (n_m,) or (repeats, n_m)} measured beam RSS;
+    returns {method/baseline: (n_m,) np.ndarray}.
+    """
+    out = {}
+    n_m = len(m_grid) if m_grid is not None else \
+        len(next(iter(rss_bf.values())))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    for name, vals in rss_bf.items():
+        vals = np.asarray(vals)
+        out[name] = vals.max(axis=0) if vals.ndim == 2 else vals
+    for name, sweep in (("sweep_phi", rss_sweep_phi),
+                        ("sweep_theta_phi", rss_sweep_theta)):
+        if sweep is None:
+            continue
+        sweep = jnp.asarray(sweep)
+        col = []
+        for i, m in enumerate(m_grid[:n_m]):
+            m_eff = int(min(m, sweep.shape[0]))
+            col.append(float(subset_sweep_rss(
+                jax.random.fold_in(key, i), sweep, m_eff, n_runs)))
+        out[name] = np.asarray(col)
+    return out

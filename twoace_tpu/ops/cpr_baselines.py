@@ -109,3 +109,35 @@ def conventional_cs(measurements_complex, a, s: int, noise_power: float,
         return embgamp(measurements_complex, a, snr_db, lam0=s / n,
                        learn_lambda=True)
     return omp(a, measurements_complex, max_steps=s)
+
+
+@jax.jit
+def unconventional_cs(measurements, f):
+    """Norm-constrained ridge least squares (the "unconventional CS" entry).
+
+    ref: main/src/my_recovery_algorithms/My_Unconventional_CS.m:1-16 —
+    solve ``x = (A'A + lam I)^{-1} A'b`` with ``A = F^T`` and ``lam`` picked
+    so ``||x|| = 1``.  In the eigenbasis of A'A the norm is
+    ``||c / (s + lam)||`` with ``c = U'A'b`` — monotone decreasing in lam —
+    so the reference's black-box 1-D fmincon over [0, 1] becomes a fixed
+    50-step bisection under jit.
+    """
+    b = jnp.asarray(measurements)
+    a = jnp.asarray(f).T
+    w = a.shape[1]
+    s, u = jnp.linalg.eigh(jnp.conj(a.T) @ a)
+    c = jnp.conj(u.T) @ (jnp.conj(a.T) @ b)
+
+    def norm_at(lam):
+        return jnp.linalg.norm(c / (s + lam))
+
+    def body(_, lo_hi):
+        lo, hi = lo_hi
+        mid = 0.5 * (lo + hi)
+        too_big = norm_at(mid) > 1.0       # need more shrinkage -> raise lam
+        return (jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid))
+
+    lo, hi = lax.fori_loop(0, 50, body, (jnp.asarray(0.0, s.dtype),
+                                         jnp.asarray(1.0, s.dtype)))
+    lam = 0.5 * (lo + hi)
+    return u @ (c / (s + lam))

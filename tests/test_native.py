@@ -58,3 +58,61 @@ def test_server_unknown_command_and_weak_signal():
         resp = prov._rpc({"cmd": "bogus"})
         assert "error" in resp
         prov.close()
+
+
+def test_codebook_image_roundtrip(tmp_path):
+    """TBRD image: create/set/get sectors, active count, module mask
+    (the wil6210_brd_mod role, codebook_library.py:21-48)."""
+    from twoace_tpu.sensing.brd import CodebookImage
+
+    p = str(tmp_path / "rx.tbrd")
+    img = CodebookImage.create(p, n_ant=16, n_sectors=4)
+    assert img.info() == (16, 4, 4, 0xFFFFFFFF)
+
+    rng = np.random.default_rng(0)
+    phases = rng.integers(0, 4, (4, 16))
+    img.set_all(phases)
+    amp, back = img.get_all()
+    np.testing.assert_array_equal(back, phases)
+    np.testing.assert_array_equal(amp, np.full((4, 16), 7))
+
+    img.set_beam(2, np.arange(16) % 4, amp=np.full(16, 3))
+    a2, p2 = img.get_beam(2)
+    np.testing.assert_array_equal(p2, np.arange(16) % 4)
+    np.testing.assert_array_equal(a2, np.full(16, 3))
+
+    img.set_beam_num(3)
+    img.enable_modules(0b0101)
+    assert img.info() == (16, 4, 3, 0b0101)
+
+
+def test_codebook_image_detects_corruption(tmp_path):
+    from twoace_tpu.sensing.brd import CodebookImage
+
+    p = str(tmp_path / "bad.tbrd")
+    img = CodebookImage.create(p, n_ant=8, n_sectors=2)
+    img.set_all(np.ones((2, 8), np.uint8))
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF                       # flip a payload byte
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(OSError, match="checksum"):
+        img.get_all()
+
+
+def test_export_codebook_set(tmp_path):
+    """Generator-script output shape: per-round images + txt phase table
+    (ref generate_rx_codebook_16ant_random.py:44-92)."""
+    from twoace_tpu.sensing.brd import (
+        CodebookImage,
+        export_codebook_set,
+        read_phase_table,
+    )
+
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 4, (6, 8))
+    paths = export_codebook_set(str(tmp_path), "rx_random", bits)
+    assert len(paths) == 6
+    _, back = CodebookImage(paths[2]).get_all()
+    np.testing.assert_array_equal(back[0], bits[2])
+    np.testing.assert_array_equal(read_phase_table(
+        str(tmp_path / "rx_random.txt")), bits)

@@ -3,6 +3,11 @@ from .bayes_opt import (  # noqa: F401
     noise_prior_from_vech,
     prior_from_channel,
 )
+from .brd import (  # noqa: F401
+    CodebookImage,
+    export_codebook_set,
+    read_phase_table,
+)
 from .codebooks import (  # noqa: F401
     Codebook,
     aco_sweep_codebook,

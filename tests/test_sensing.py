@@ -213,3 +213,40 @@ def test_directional_beam_bayes_v2(key):
     grid = np.round(phases / (np.pi / 2)) * (np.pi / 2)
     np.testing.assert_allclose(np.mod(phases - grid, 2 * np.pi).min(), 0,
                                atol=1e-5)
+
+
+def test_directional_random_and_region_beams(key):
+    """Random-gain directional/region beam families: quantized unit-modulus
+    weights concentrating energy in the FoV
+    (ref Directional_Random_Beam.m, Region_Random_Beam.m)."""
+    from twoace_tpu.sensing.codebooks import (
+        directional_random_beams,
+        region_random_beams,
+    )
+    from twoace_tpu.models.steering import steering_vector
+
+    cfg = ArrayConfig(nt=8, nr=8)
+    for maker in (directional_random_beams, region_random_beams):
+        f, w = maker(key, 4, 4, cfg, 60.0)
+        assert f.shape == (8, 4) and w.shape == (8, 4)
+        np.testing.assert_allclose(np.abs(np.asarray(f)), 1 / np.sqrt(8),
+                                   rtol=1e-6)
+        # in-FoV gain should dominate out-of-FoV gain on average
+        sin_in = jnp.sin(jnp.deg2rad(jnp.linspace(-30, 30, 16)))
+        sin_out = jnp.sin(jnp.deg2rad(jnp.linspace(50, 89, 16)))
+        a_in = steering_vector(sin_in, 8, cfg.k_d)
+        a_out = steering_vector(sin_out, 8, cfg.k_d)
+        g_in = jnp.mean(jnp.abs(jnp.conj(a_in) @ f) ** 2)
+        g_out = jnp.mean(jnp.abs(jnp.conj(a_out) @ f) ** 2)
+        assert float(g_in) > float(g_out)
+
+
+def test_sweep_codebook_2d(key):
+    from twoace_tpu.sensing.codebooks import sweep_codebook_2d
+
+    cfg = ArrayConfig(nt=16, nr=16)
+    cb = sweep_codebook_2d(cfg, 6, 6)
+    assert cb.bits.shape == (36, 16)
+    assert set(np.unique(np.asarray(cb.bits))) <= {0, 1, 2, 3}
+    # distinct steering directions give distinct codewords somewhere
+    assert len(np.unique(np.asarray(cb.bits), axis=0)) > 10

@@ -34,6 +34,7 @@ from ..sensing.codebooks import (
     rss_to_csi,
     svd_beamformer_bits,
     sweep_codebook,
+    sweep_codebook_2d,
 )
 from ..sensing.provider import MeasurementProvider, ThermalGuard
 from ..utils.checkpoint import CampaignStore
@@ -108,9 +109,10 @@ class TestbedRunner:
 
         Probes use one sweep beam per round on both sides (single sector)."""
         cfg = self.cfg.array
-        for name, count in (("theta_phi", self.cfg.n_theta_phi),
-                            ("phi", self.cfg.n_phi)):
-            cb = sweep_codebook(cfg, count)
+        n_el = max(1, int(round(self.cfg.n_theta_phi ** 0.5)))
+        theta_cb = sweep_codebook_2d(cfg, self.cfg.n_theta_phi // n_el, n_el)
+        for name, cb in (("theta_phi", theta_cb),
+                         ("phi", sweep_codebook(cfg, self.cfg.n_phi))):
             rows_side = cb.rows()
             tx = rows_side[:, None, :]           # (rounds, 1, nt)
             rx = jnp.conj(rows_side)             # combiner side

@@ -14,15 +14,18 @@ from .codebooks import (  # noqa: F401
     conj_phase_bits,
     directional_beams_angular,
     directional_beams_spatial,
+    directional_random_beams,
     evaluation_codebook,
     kron_probe_rows,
     multires_codebook,
     random_codebook,
     random_phase_bits,
     random_sensing_rows,
+    region_random_beams,
     rss_to_csi,
     svd_beamformer_bits,
     sweep_codebook,
+    sweep_codebook_2d,
 )
 from .sensing_matrix import (  # noqa: F401
     SensingMatrix,

@@ -156,6 +156,124 @@ def directional_beams_spatial(mt: int, mr: int, cfg: ArrayConfig,
     return f, w
 
 
+def _beamspace_side(key, n_ant, nq, cfg, gain_fn, m):
+    """Shared beam-space -> antenna-weight mapping: build an (nq, m) gain
+    target with ``gain_fn``, least-squares map through the steering
+    dictionary, normalize, 2-bit quantize (the common tail of the
+    Directional_*/Region_* generators, ref: Directional_Beam.m:139-145)."""
+    beam_space = gain_fn(key)
+    a = np.asarray(dictionary(n_ant, nq, cfg.k_d, jnp.complex128))
+    fmat = np.linalg.pinv(a.conj().T) @ np.asarray(beam_space)
+    fmat = fmat / np.linalg.norm(fmat)
+    return quantize_ps(jnp.asarray(fmat), cfg.phase_bit)
+
+
+def directional_random_beams(key, mt: int, mr: int, cfg: ArrayConfig,
+                             searching_area_deg: float,
+                             oversample: int = 20,
+                             small_gain: float = 0.05):
+    """Directional beams with *random* per-position gains in each beam's
+    FoV sub-grid (ref: Directional_Random_Beam.m:67-160): the FoV positions
+    are partitioned into Mt overlapping sub-grids; beam i carries
+    ``|N(0,1)|*20+5`` gains on its sub-grid and ``small_gain`` elsewhere.
+    """
+    half = math.radians(searching_area_deg / 2.0)
+    lo, hi = -math.sin(half), math.sin(half)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    def side(n_ant, nq_base, m):
+        nq = oversample * nq_base
+        grid = virtual_grid(nq)
+        pos = np.arange(int(np.argmin(np.abs(grid - lo))),
+                        int(np.argmin(np.abs(grid - hi))) + 1)
+        npos = len(pos)
+        sub = math.ceil(npos / m)
+        n_overlap = sub * m - npos
+        ol_l = math.ceil(n_overlap / 2)
+        overlap = set(range(1, ol_l + 1)) | set(range(m - n_overlap // 2, m))
+
+        def gains(_):
+            gain = np.full((npos, m), small_gain)
+            start = 0
+            for i in range(m):
+                gain[start:start + sub, i] = \
+                    np.abs(rng.normal(size=sub)) * 20 + 5
+                start += sub - 1 if (i + 1) in overlap else sub
+            beam_space = np.zeros((nq, m))
+            beam_space[pos, :] = gain
+            return beam_space
+
+        return _beamspace_side(None, n_ant, nq, cfg, gains, m)
+
+    return side(cfg.nt, cfg.grid_t, mt), side(cfg.nr, cfg.grid_r, mr)
+
+
+def region_random_beams(key, mt: int, mr: int, cfg: ArrayConfig,
+                        searching_area_deg: float,
+                        small_gain: float = 0.01):
+    """Random-gain beams over the whole FoV with one normalized dominant
+    peak per beam, peaks spread uniformly by circular shift
+    (ref: Region_Random_Beam.m:66-135).
+    """
+    half = math.radians(searching_area_deg / 2.0)
+    lo, hi = -math.sin(half), math.sin(half)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    def side(n_ant, m):
+        nq = n_ant                       # ref :77-78: NQ = N
+        grid = virtual_grid(nq)
+        pos = np.arange(int(np.argmin(np.abs(grid - lo))),
+                        int(np.argmin(np.abs(grid - hi))) + 1)
+        npos = len(pos)
+
+        def gains(_):
+            g = np.abs(rng.normal(size=(npos, m))) * 20 + 5
+            mean_max = g.max(axis=0).mean()
+            mean_rest = (g.sum() - mean_max * m) / m
+            r = g.argmax(axis=0)
+            for i in range(m):
+                g[r[i], i] = mean_max
+                rest = np.delete(g[:, i], r[i])
+                rest = rest * mean_rest / rest.sum()
+                g[np.arange(npos) != r[i], i] = rest
+                g[:, i] = np.roll(g[:, i],
+                                  (i) * round(npos / m) - r[i])
+            beam_space = np.full((nq, m), small_gain)
+            beam_space[pos, :] = g
+            return beam_space
+
+        return _beamspace_side(None, n_ant, nq, cfg, gains, m)
+
+    return side(cfg.nt, mt), side(cfg.nr, mr)
+
+
+def sweep_codebook_2d(cfg: ArrayConfig, n_az: int, n_el: int,
+                      az_range: Tuple[float, float] = (-60.0, 60.0),
+                      el_range: Tuple[float, float] = (-30.0, 30.0),
+                      cols: Optional[int] = None) -> Codebook:
+    """Azimuth x elevation sweep codebook over the URA geometry.
+
+    TPU-native analogue of the sweeping-theta-and-phi probe codebooks
+    (ref: codebook/generate_rx_codebook_16ant_sweeping_thetaNphi.py;
+    36 = 6 az x 6 el combos on the testbed URA).  Beam (a, e) steers to
+    azimuth[a], elevation[e] using the per-antenna URA positions.
+    """
+    from .grouping import location_phase, ura_coordinates
+
+    coords = ura_coordinates(cfg.nr, cols)
+    az = np.deg2rad(np.linspace(az_range[0], az_range[1], n_az))
+    el = np.deg2rad(np.linspace(el_range[0], el_range[1], n_el))
+    nps = 2 ** cfg.phase_bit
+    bits = np.zeros((n_az * n_el, cfg.nr), np.int32)
+    for i, a in enumerate(az):
+        for j, e in enumerate(el):
+            ph = -location_phase(coords, a, e)
+            bits[i * n_el + j] = np.round(
+                ph / (2 * np.pi / nps)).astype(np.int32) % nps
+    return Codebook(bits=jnp.asarray(bits), amp=jnp.ones((cfg.nr,)),
+                    phase_bit=cfg.phase_bit)
+
+
 def sweep_codebook(cfg: ArrayConfig, n_az: int,
                    az_range: Tuple[float, float] = (-90.0, 90.0)) -> Codebook:
     """Azimuth sweep codebook: one quantized steering beam per azimuth.

@@ -21,7 +21,9 @@ from .bayes_opt import bayes_a_opt_select, noise_prior_from_vech, prior_from_cha
 from .codebooks import (
     directional_beams_angular,
     directional_beams_spatial,
+    directional_random_beams,
     random_sensing_rows,
+    region_random_beams,
 )
 
 
@@ -70,12 +72,17 @@ def generate_sensing_matrix(key, method: str, mt: int, mr: int,
         fw = jax.vmap(per_user)(jnp.arange(batch))
         f = jnp.zeros((cfg.nt, mt), fw.dtype)
         w = jnp.zeros((batch, cfg.nr, mr), fw.dtype)
-    elif method in ("Directional_Beam", "Directional_Beam_Angular"):
+    elif method in ("Directional_Beam", "Directional_Beam_Angular",
+                    "Directional_Random_Beam", "Region_Random_Beam"):
         if aod_range is None:
             raise ValueError("directional modes need aod_range/aoa_range")
+        span = float(aod_range[1] - aod_range[0])
         if method == "Directional_Beam":
-            span = float(aod_range[1] - aod_range[0])
             f, w_single = directional_beams_spatial(mt, mr, cfg, span)
+        elif method == "Directional_Random_Beam":
+            f, w_single = directional_random_beams(key, mt, mr, cfg, span)
+        elif method == "Region_Random_Beam":
+            f, w_single = region_random_beams(key, mt, mr, cfg, span)
         else:
             f, w_single = directional_beams_angular(mt, mr, cfg, aod_range,
                                                     aoa_range)

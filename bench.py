@@ -26,11 +26,19 @@ iteration budget of up to ~4000 ADMM iterations per (M, method) cell
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persist compiled executables: the remote-compile tunnel takes tens of
+# minutes for this graph cold; a warm cache makes re-runs near-instant.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 MATLAB_BASELINE_ITERS_PER_S = 4000.0
 
@@ -40,7 +48,9 @@ M = 4 * N
 R = 20
 BATCH = 256         # independent problem instances solved concurrently
 ITERS = 100         # scanned ADMM iterations per timed call
-SWEEPS = 4          # Jacobi sweeps in the Z-prox (prox-grade accuracy)
+SWEEPS = 1          # Jacobi sweeps per iteration: the eigenbasis is carried
+                    # across iterations (warm start), so one sweep keeps
+                    # prox-grade accuracy (tests/test_cplx.py warm-basis test)
 
 
 def build_problem(seed: int = 0):
@@ -70,7 +80,7 @@ def make_step(ladder):
 
     def run(a, b, u_mat, state):
         step = admm_iteration_pair(a, b, u_mat, NT, NR, ladder,
-                                   sweeps=SWEEPS)
+                                   sweeps=SWEEPS, warm_basis=True)
 
         def body(s, _):
             return step(s), None
@@ -100,7 +110,9 @@ def main():
                   jnp.zeros((BATCH, M, R), jnp.float32)),
              Pair(jnp.zeros((BATCH, N, R), jnp.float32),
                   jnp.zeros((BATCH, N, R), jnp.float32)),
-             jnp.full((BATCH,), 1e-3, jnp.float32))
+             jnp.full((BATCH,), 1e-3, jnp.float32),
+             jnp.broadcast_to(jnp.eye(2 * NR, dtype=jnp.float32),
+                              (BATCH, 2 * NR, 2 * NR)))
     step = make_step(ladder)
 
     # compile + warmup; float() forces a host readback (true synchronization)

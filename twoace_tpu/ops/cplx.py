@@ -117,7 +117,8 @@ def magnitude_prox_rows(ax: Pair, b, m_dual: Pair, mu) -> Pair:
 
 def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
                                ladder: Sequence[Tuple[int, float]],
-                               sweeps: int = 6) -> Pair:
+                               sweeps: int = 6, v0=None,
+                               return_basis: bool = False):
     """Pair-form 2ACE spectral-profile prox.
 
     Same semantics as :func:`..ops.prox.spectral_profile_prox`, but the
@@ -125,6 +126,14 @@ def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
     symmetric embedding with the real Jacobi solver — no complex dtype
     anywhere.  Embedded eigenvalues come in duplicated pairs; the ladder is
     evaluated on the deduplicated (every other sorted) spectrum.
+
+    ``v0``: optional warm-start eigenbasis (2nr, 2nr real orthogonal) from a
+    previous call.  The Gram changes little between consecutive ADMM
+    iterations, so congruence-transforming into the previous basis leaves a
+    near-diagonal matrix that one cheap Jacobi sweep re-diagonalizes —
+    the TPU replacement for re-running a full eig per iteration
+    (ref cost: inferLowRankV4_multi.m:428-430 runs MATLAB ``eig`` per iter).
+    With ``return_basis=True`` returns ``(result, v)``.
     """
     n, r = z.shape
     # columns -> channel-panel E (nr, nt*r): z[:, c] k-index = it*nr + ir
@@ -141,7 +150,13 @@ def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
     g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
              0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
     g_emb = embed_hermitian(g)
-    w, v = eigh_jacobi(g_emb, sweeps=sweeps)       # real, descending, 2nr
+    if v0 is not None:
+        # rotate into the previous eigenbasis; one sweep finishes the job
+        g_emb = jnp.swapaxes(v0, -1, -2) @ g_emb @ v0
+        w, s_rot = eigh_jacobi(g_emb, sweeps=sweeps)
+        v = v0 @ s_rot
+    else:
+        w, v = eigh_jacobi(g_emb, sweeps=sweeps)   # real, descending, 2nr
     w = jnp.maximum(w, 0.0)
     w_c = w[0::2]                                   # deduplicated spectrum
 
@@ -165,22 +180,35 @@ def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
     delta_emb = (v * coeff[None, :]) @ v.T
     delta = unembed(delta_emb, nr)
     e_new = add(e, matmul(delta, e))
-    return Pair(from_panel(e_new.re), from_panel(e_new.im))
+    out = Pair(from_panel(e_new.re), from_panel(e_new.im))
+    if return_basis:
+        return out, v
+    return out
 
 
 def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                         ladder: Sequence[Tuple[int, float]],
-                        sweeps: int = 6):
+                        sweeps: int = 6, warm_basis: bool = False):
     """Build the fused pair-form 2ACE ADMM iteration.
 
     Returns ``step(state) -> state`` with state =
     (y, z, m_dual, n_dual, mu) pairs/real — one full X/Y/Z/dual update
     (ref: inferLowRankV4_multi.m:318-341) in pure real arithmetic.
+
+    ``warm_basis=True`` appends the Z-prox eigenbasis (2nr, 2nr) to the
+    state and warm-starts each iteration's eigendecomposition from the
+    previous one, so ``sweeps`` can drop to 1 with no accuracy loss on
+    the slowly-varying ADMM Gram (initialize the extra state entry with
+    ``jnp.eye(2 * nr)``).
     """
     ah = Pair(jnp.swapaxes(a.re, -1, -2), -jnp.swapaxes(a.im, -1, -2))
 
     def step(state):
-        y, z, m_dual, n_dual, mu = state
+        if warm_basis:
+            y, z, m_dual, n_dual, mu, v_basis = state
+        else:
+            y, z, m_dual, n_dual, mu = state
+            v_basis = None
         inv_mu = 1.0 / mu
         # X-update: U (A^H (Y - M/mu) + (Z - N/mu))
         t = Pair(y.re - m_dual.re * inv_mu, y.im - m_dual.im * inv_mu)
@@ -190,12 +218,19 @@ def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,
         ax = matmul(a, x)
         y_new = magnitude_prox_rows(ax, b, m_dual, mu)
         z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
-        z_new = spectral_profile_prox_pair(z_in, nt, nr, ladder,
-                                           sweeps=sweeps)
+        if warm_basis:
+            z_new, v_new = spectral_profile_prox_pair(
+                z_in, nt, nr, ladder, sweeps=sweeps, v0=v_basis,
+                return_basis=True)
+        else:
+            z_new = spectral_profile_prox_pair(z_in, nt, nr, ladder,
+                                               sweeps=sweeps)
         m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
                      m_dual.im + mu * (ax.im - y_new.im))
         n_new = Pair(n_dual.re + mu * (x.re - z_new.re),
                      n_dual.im + mu * (x.im - z_new.im))
+        if warm_basis:
+            return (y_new, z_new, m_new, n_new, mu * 1.03, v_new)
         return (y_new, z_new, m_new, n_new, mu * 1.03)
 
     return step

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from ..config import ArrayConfig, MethodFlags
 from ..sensing.codebooks import (
-    Codebook,
     aco_sweep_codebook,
     conj_phase_bits,
     directional_beams_angular,
@@ -38,7 +37,6 @@ from ..sensing.codebooks import (
 )
 from ..sensing.provider import MeasurementProvider, ThermalGuard
 from ..utils.checkpoint import CampaignStore
-from ..models.steering import unvec_channel
 from .recovery import (
     CampaignConfig,
     recover_a2nuclear,

@@ -171,3 +171,106 @@ def test_warm_basis_prox_matches_cold():
     rel = (np.linalg.norm(np.asarray(zc.re) - np.asarray(zw.re))
            / max(np.linalg.norm(np.asarray(zc.re)), 1e-9))
     assert rel < 0.2
+
+
+def test_transposed_iteration_matches_untransposed():
+    """admm_iteration_pair_t (r-leading layout) == admm_iteration_pair with
+    warm_basis=True, state-for-state, across several iterations."""
+    from twoace_tpu.ops.cplx import (Pair, admm_iteration_pair,
+                                     admm_iteration_pair_t, matmul)
+    from twoace_tpu.ops.prox import profile_ladder
+
+    nt = nr = 4
+    n, m, r = nt * nr, 64, 6
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 4, (m, n))
+    a_np = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)
+    x_true = (rng.normal(size=n) + 1j * rng.normal(size=n)) / np.sqrt(2)
+    b = jnp.asarray(np.abs(a_np @ x_true), jnp.float32)
+    u_np = np.linalg.inv(a_np.conj().T @ a_np + np.eye(n))
+    ladder = profile_ladder(nt, nr, m, n, False)
+
+    def f32p(x):
+        return Pair(jnp.asarray(np.real(x), jnp.float32),
+                    jnp.asarray(np.imag(x), jnp.float32))
+
+    def tp(p):
+        return Pair(p.re.T, p.im.T)
+
+    a, u_mat = f32p(a_np), f32p(u_np)
+    x0 = rng.normal(size=(n, r)).astype(np.float32)
+    z0 = Pair(jnp.asarray(x0), jnp.zeros((n, r), jnp.float32))
+    y0 = matmul(a, z0)
+    eye = jnp.eye(2 * nr, dtype=jnp.float32)
+    zeros_m = Pair(jnp.zeros((m, r), jnp.float32),
+                   jnp.zeros((m, r), jnp.float32))
+    zeros_n = Pair(jnp.zeros((n, r), jnp.float32),
+                   jnp.zeros((n, r), jnp.float32))
+    mu = jnp.asarray(1e-3, jnp.float32)
+
+    s_ref = (y0, z0, zeros_m, zeros_n, mu, eye)
+    s_t = (tp(y0), tp(z0), tp(zeros_m), tp(zeros_n), mu, eye)
+
+    step_ref = jax.jit(admm_iteration_pair(a, b, u_mat, nt, nr, ladder,
+                                           sweeps=2, warm_basis=True))
+    step_t = jax.jit(admm_iteration_pair_t(a, b, u_mat, nt, nr, ladder,
+                                           sweeps=2))
+    for it in range(8):
+        s_ref = step_ref(s_ref)
+        s_t = step_t(s_t)
+        for k, (pr, pt) in enumerate(zip(s_ref[:4], s_t[:4])):
+            np.testing.assert_allclose(np.asarray(pt.re), np.asarray(pr.re).T,
+                                       atol=2e-4, err_msg=f"it{it} slot{k}")
+            np.testing.assert_allclose(np.asarray(pt.im), np.asarray(pr.im).T,
+                                       atol=2e-4, err_msg=f"it{it} slot{k}")
+    np.testing.assert_allclose(float(s_t[4]), float(s_ref[4]), rtol=1e-5)
+
+
+def test_perturbative_eig_tracks_jacobi_in_admm():
+    """eig_mode='perturb' converges the ADMM like the warm Jacobi sweep."""
+    from twoace_tpu.ops.cplx import (Pair, admm_iteration_pair_t, matmul)
+    from twoace_tpu.ops.prox import profile_ladder
+
+    nt = nr = 8
+    n, m, r = nt * nr, 256, 8
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 4, (m, n))
+    a_np = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)
+    x_true = (rng.normal(size=n) + 1j * rng.normal(size=n)) / np.sqrt(2)
+    b = jnp.asarray(np.abs(a_np @ x_true), jnp.float32)
+    u_np = np.linalg.inv(a_np.conj().T @ a_np + np.eye(n))
+    ladder = profile_ladder(nt, nr, m, n, False)
+
+    def f32p(x):
+        return Pair(jnp.asarray(np.real(x), jnp.float32),
+                    jnp.asarray(np.imag(x), jnp.float32))
+
+    a, u_mat = f32p(a_np), f32p(u_np)
+    x0 = rng.normal(size=(r, n)).astype(np.float32)
+    z0 = Pair(jnp.asarray(x0), jnp.zeros((r, n), jnp.float32))
+    y0 = Pair(z0.re @ a_np.real.T.astype(np.float32)
+              - z0.im @ a_np.imag.T.astype(np.float32),
+              z0.re @ a_np.imag.T.astype(np.float32)
+              + z0.im @ a_np.real.T.astype(np.float32))
+    from twoace_tpu.ops.cplx import panel_gram_basis
+    base = (y0, z0,
+            Pair(jnp.zeros((r, m), jnp.float32), jnp.zeros((r, m), jnp.float32)),
+            Pair(jnp.zeros((r, n), jnp.float32), jnp.zeros((r, n), jnp.float32)),
+            jnp.asarray(1e-3, jnp.float32),
+            panel_gram_basis(z0, nt, nr))
+
+    def resid(state):
+        y = state[0]
+        amp = jnp.sqrt(jnp.sum(y.re ** 2 + y.im ** 2, axis=0))
+        return float(jnp.linalg.norm(amp - b) / jnp.linalg.norm(b))
+
+    outs = {}
+    for mode in ("jacobi", "perturb"):
+        step = jax.jit(admm_iteration_pair_t(a, b, u_mat, nt, nr, ladder,
+                                             sweeps=1, eig_mode=mode))
+        s = base
+        for _ in range(60):
+            s = step(s)
+        outs[mode] = resid(s)
+    assert outs["perturb"] < 0.35
+    assert abs(outs["perturb"] - outs["jacobi"]) < 0.1

@@ -7,4 +7,11 @@ from .prox import (  # noqa: F401
     project_rows_to_magnitude,
     spectral_profile_prox,
 )
+from .pair_solver import (  # noqa: F401
+    PairAdmmResult,
+    infer_admm_pair,
+    solve_lowrank_multi_pair,
+    solve_lowrank_multi_pair_batch,
+    spectral_initialize_pair,
+)
 from .spectral_init import spectral_initialize  # noqa: F401

@@ -144,46 +144,203 @@ def spectral_profile_prox_pair(z: Pair, nt: int, nr: int,
         return e.reshape(nr, r, nt).transpose(1, 2, 0).reshape(r, nt * nr).T
 
     e = Pair(to_panel(z.re), to_panel(z.im))
-    g = matmul(e, conj(Pair(jnp.swapaxes(e.re, -1, -2),
-                            jnp.swapaxes(e.im, -1, -2))))
-    # hermitize (numerical) then embed
-    g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
-             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
-    g_emb = embed_hermitian(g)
-    if v0 is not None:
-        # rotate into the previous eigenbasis; one sweep finishes the job
-        g_emb = jnp.swapaxes(v0, -1, -2) @ g_emb @ v0
-        w, s_rot = eigh_jacobi(g_emb, sweeps=sweeps)
-        v = v0 @ s_rot
-    else:
-        w, v = eigh_jacobi(g_emb, sweeps=sweeps)   # real, descending, 2nr
-    w = jnp.maximum(w, 0.0)
-    w_c = w[0::2]                                   # deduplicated spectrum
-
-    scale_c = jnp.ones_like(w_c)
-    v_tot = jnp.sum(w_c)
-    for rk, f in ladder:
-        vr = jnp.sum(w_c[:rk])
-        need = vr < v_tot * f
-        s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
-                        * (1.0 / f - 1.0))
-        s = jnp.where(need, s, 1.0)
-        tail = jnp.arange(w_c.shape[0]) >= rk
-        mult = jnp.where(tail, s, 1.0)
-        w_c = w_c * mult
-        scale_c = scale_c * mult
-        v_tot = jnp.sum(w_c)
-
-    # duplicate scales back onto the embedded spectrum, build
-    # Delta = V diag(sqrt(scale)-1) V^T, exact identity when scale == 1
-    coeff = jnp.repeat(jnp.sqrt(scale_c) - 1.0, 2)
-    delta_emb = (v * coeff[None, :]) @ v.T
-    delta = unembed(delta_emb, nr)
-    e_new = add(e, matmul(delta, e))
+    e_new, v = _panel_spectral_prox(e, nr, ladder, sweeps, v0)
     out = Pair(from_panel(e_new.re), from_panel(e_new.im))
     if return_basis:
         return out, v
     return out
+
+
+def magnitude_prox_cols(ax_t: Pair, b, m_dual_t: Pair, mu) -> Pair:
+    """Transposed-layout row-magnitude prox (arrays are (r, m), b is (m,)).
+
+    Same math as :func:`magnitude_prox_rows` with the over-parameterization
+    axis r leading: the per-measurement-row norm reduces over axis -2.
+    """
+    inv_mu = 1.0 / mu
+    yr = ax_t.re + m_dual_t.re * inv_mu
+    yi = ax_t.im + m_dual_t.im * inv_mu
+    d2 = jnp.sum(yr * yr + yi * yi, axis=-2, keepdims=True)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    coeff = (b[..., None, :] / d + mu) / (1.0 + mu)
+    return Pair(yr * coeff, yi * coeff)
+
+
+def eigh_update_perturbative(g, v0, ns_steps: int = 3,
+                             rel_gap: float = 1e-3, max_norm: float = 0.7):
+    """One warm-started eigenbasis refinement step (first-order perturbation).
+
+    Given symmetric ``g`` (..., n, n) and an approximate eigenbasis ``v0``
+    from the previous ADMM iteration, rotate ``g' = v0^T g v0`` (near
+    diagonal), apply the Rayleigh-Schrodinger first-order eigenvector
+    correction ``E_ij = g'_ij / (l_j - l_i)`` (masked on (near-)degenerate
+    pairs — harmless here because the spectral-profile prox applies identical
+    scaling inside a degenerate cluster), and re-orthonormalize with
+    ``ns_steps`` Newton-Schulz iterations.  Total cost ~5 small matmuls vs a
+    full Jacobi sweep's n-1 sequential rotation rounds — the latency-lean
+    replacement for per-iteration ``eig`` in the jitted loop
+    (ref cost: inferLowRankV4_multi.m:428-430).
+
+    Returns ``(w, v)`` with eigenvalues **descending**.
+    """
+    n = g.shape[-1]
+    gr = jnp.swapaxes(v0, -1, -2) @ (g @ v0)
+    lam = jnp.diagonal(gr, axis1=-2, axis2=-1)
+    gap = lam[..., None, :] - lam[..., :, None]         # l_j - l_i
+    scale = jnp.abs(lam[..., None, :]) + jnp.abs(lam[..., :, None])
+    ok = jnp.abs(gap) > rel_gap * jnp.maximum(scale, 1e-30)
+    corr = jnp.where(ok, gr / jnp.where(ok, gap, 1.0), 0.0)
+    # exact-first-order correction is skew (gr symmetric); project to skew
+    # and cap ||C||_F <= max_norm so I + C stays in Newton-Schulz's basin
+    # (sigma(V) <= sqrt(1 + max_norm^2) < sqrt(3)).  When the basis lags the
+    # Gram badly (early iterations) the capped step moves partway and the
+    # basis catches up over the next few iterations, tracking-filter style.
+    corr = 0.5 * (corr - jnp.swapaxes(corr, -1, -2))
+    fro = jnp.sqrt(jnp.sum(corr * corr, axis=(-2, -1), keepdims=True))
+    corr = corr * jnp.minimum(1.0, max_norm / jnp.maximum(fro, 1e-30))
+    eye = jnp.eye(n, dtype=g.dtype)
+    v = v0 @ (eye + corr)
+    for _ in range(ns_steps):
+        vtv = jnp.swapaxes(v, -1, -2) @ v
+        v = v @ (1.5 * eye - 0.5 * vtv)
+    order = jnp.argsort(-lam, axis=-1)
+    w = jnp.take_along_axis(lam, order, axis=-1)
+    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+    return w, v
+
+
+def _panel_spectral_prox(e: Pair, nr: int, ladder, sweeps: int, v0,
+                         eig_mode: str = "jacobi"):
+    """Spectral-profile prox on a channel panel ``e`` (nr, cols).
+
+    Shared core of the pair-form Z-prox: Gram -> real symmetric embedding ->
+    eigh (cold Jacobi, warm Jacobi, or warm perturbative update) ->
+    constraint-ladder rescale -> low-rank delta applied back to ``e``.
+    Returns ``(e_new, v)``.
+    """
+    g = matmul(e, conj(Pair(jnp.swapaxes(e.re, -1, -2),
+                            jnp.swapaxes(e.im, -1, -2))))
+    g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+    g_emb = embed_hermitian(g)
+    if v0 is not None and eig_mode == "perturb":
+        w, v = eigh_update_perturbative(g_emb, v0)
+    elif v0 is not None:
+        g_rot = jnp.swapaxes(v0, -1, -2) @ g_emb @ v0
+        w, s_rot = eigh_jacobi(g_rot, sweeps=sweeps)
+        v = v0 @ s_rot
+    else:
+        w, v = eigh_jacobi(g_emb, sweeps=sweeps)
+    w = jnp.maximum(w, 0.0)
+    w_c = w[..., 0::2]                              # deduplicated spectrum
+
+    scale_c = jnp.ones_like(w_c)
+    v_tot = jnp.sum(w_c, axis=-1)
+    idx = jnp.arange(w_c.shape[-1])
+    for rk, f in ladder:
+        vr = jnp.sum(jnp.where(idx < rk, w_c, 0.0), axis=-1)
+        need = vr < v_tot * f
+        s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
+                        * (1.0 / f - 1.0))
+        s = jnp.where(need, s, 1.0)
+        mult = jnp.where(idx >= rk, s[..., None], 1.0)
+        w_c = w_c * mult
+        scale_c = scale_c * mult
+        v_tot = jnp.sum(w_c, axis=-1)
+
+    coeff = jnp.repeat(jnp.sqrt(scale_c) - 1.0, 2, axis=-1)
+    delta_emb = (v * coeff[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+    delta = unembed(delta_emb, nr)
+    e_new = add(e, matmul(delta, e))
+    return e_new, v
+
+
+def panel_gram_basis(z_t: Pair, nt: int, nr: int, sweeps: int = 8):
+    """Eigenbasis (2nr, 2nr) of the embedded Z-prox Gram for warm-starting.
+
+    ``z_t``: transposed-layout Z (..., r, nt*nr).  Run once before the ADMM
+    loop when using ``eig_mode='perturb'`` — the perturbative update only
+    refines an already-good basis, so seed it with a cold Jacobi solve.
+    """
+    r = z_t.shape[-2]
+    lead = z_t.re.shape[:-2]
+
+    def to_panel(xx):
+        return xx.reshape(lead + (r, nt, nr)) \
+                 .swapaxes(-1, -3).swapaxes(-1, -2) \
+                 .reshape(lead + (nr, r * nt))
+
+    e = Pair(to_panel(z_t.re), to_panel(z_t.im))
+    g = matmul(e, conj(Pair(jnp.swapaxes(e.re, -1, -2),
+                            jnp.swapaxes(e.im, -1, -2))))
+    g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+    _, v = eigh_jacobi(embed_hermitian(g), sweeps=sweeps)
+    return v
+
+
+def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
+                          ladder: Sequence[Tuple[int, float]],
+                          sweeps: int = 1, eig_mode: str = "jacobi"):
+    """Transposed-layout fused 2ACE ADMM iteration (the fast TPU path).
+
+    Identical math to :func:`admm_iteration_pair` with ``warm_basis=True``,
+    but every state array carries the over-parameterization axis r *first*:
+    y, m_dual are (r, m); z, n_dual are (r, n).  Why: the MXU pads a
+    matmul's lane (last/N) dimension to 128 — with the reference's r = 20
+    (inferLowRankV4_multi.m:4) on the lane side, five-sixths of every MXU
+    pass is padding.  Transposed, r rides the streaming (sublane) dimension
+    and the lane dimension is always n or m (256/1024 at production shape),
+    giving near-full MXU utilization:
+
+        rhs^T = t^T conj(A) + (z^T - n^T/mu)      (r,m)@(m,n)
+        x^T   = rhs^T conj(U)                      (r,n)@(n,n)   [U Hermitian]
+        (Ax)^T = x^T A^T                           (r,n)@(n,m)
+
+    State: ``(y_t, z_t, m_t, n_t, mu, v_basis)``; v_basis is the warm
+    eigenbasis of the embedded Z-prox Gram (2nr, 2nr) — seed with
+    ``jnp.eye(2*nr)``.  ``eig_mode``: "jacobi" = warm Jacobi (``sweeps``
+    full sweeps), "perturb" = first-order perturbative basis update
+    (~5 matmuls, lowest latency).
+    """
+    a_conj = Pair(a.re, -a.im)                                # (m, n)
+    a_t = Pair(jnp.swapaxes(a.re, -1, -2),
+               jnp.swapaxes(a.im, -1, -2))                    # (n, m)
+    u_conj = Pair(u_mat.re, -u_mat.im)                        # U^T = conj(U)
+    r_of = lambda p: p.shape[-2]
+
+    def step(state):
+        y, z, m_dual, n_dual, mu, v_basis = state
+        inv_mu = 1.0 / mu
+        t = Pair(y.re - m_dual.re * inv_mu, y.im - m_dual.im * inv_mu)
+        rhs = add(matmul(t, a_conj), Pair(z.re - n_dual.re * inv_mu,
+                                          z.im - n_dual.im * inv_mu))
+        x = matmul(rhs, u_conj)                               # (r, n)
+        ax = matmul(x, a_t)                                   # (r, m)
+        y_new = magnitude_prox_cols(ax, b, m_dual, mu)
+        z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
+        # (r, nt*nr) -> panel (nr, r*nt): k = it*nr + ir
+        r = r_of(z)
+
+        def to_panel(xx):
+            return xx.reshape(r, nt, nr).transpose(2, 0, 1).reshape(
+                nr, r * nt)
+
+        def from_panel(ee):
+            return ee.reshape(nr, r, nt).transpose(1, 2, 0).reshape(
+                r, nt * nr)
+
+        e = Pair(to_panel(z_in.re), to_panel(z_in.im))
+        e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps, v_basis,
+                                            eig_mode=eig_mode)
+        z_new = Pair(from_panel(e_new.re), from_panel(e_new.im))
+        m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
+                     m_dual.im + mu * (ax.im - y_new.im))
+        n_new = Pair(n_dual.re + mu * (x.re - z_new.re),
+                     n_dual.im + mu * (x.im - z_new.im))
+        return (y_new, z_new, m_new, n_new, mu * 1.03, v_new)
+
+    return step
 
 
 def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,

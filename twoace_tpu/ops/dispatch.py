@@ -41,17 +41,45 @@ _PL_LIFT_SCALE = 1e10
 
 
 def admm_v2(key, measurements, beams, nt: int, nr: int, version: int = 4,
-            cfg: AdmmConfig = AdmmConfig(), nuclear: bool = False
-            ) -> AdmmResult:
+            cfg: AdmmConfig = AdmmConfig(), nuclear: bool = False,
+            impl: str = "complex") -> AdmmResult:
     """Dispatch the ADMM solver family.
 
     ``measurements``: (m,) linear *amplitudes*; ``beams``: (m, nt*nr) probe
     rows.  version 0 = inferMinL2; 1/2/3 = historical single-restart ladders;
     4 = inferLowRankV4_multi (or inferLowRank_Nuclear when ``nuclear``).
     ref: ADMM_v2.m:22-45, ADMM_v2_nuclear.m:32.
+
+    ``impl="pair"`` routes versions 1-4 through the pair-representation
+    solver (:mod:`.pair_solver`), which runs on TPU runtimes without
+    complex-dtype support; results are returned as complex on the host.
     """
     b = jnp.real(jnp.asarray(measurements)).reshape(-1)
     a = jnp.asarray(beams)
+    if impl == "pair" and version != 0:
+        from .cplx import Pair
+        from .pair_solver import solve_lowrank_multi_pair
+
+        ap = Pair(jnp.real(a).astype(jnp.float32),
+                  jnp.imag(a).astype(jnp.float32))
+        kwargs = dict(prox_kind="nuclear") if (version == 4 and nuclear) \
+            else {}
+        if version in (1, 2, 3):
+            ladder = "v1" if version == 1 else "v2"
+            cfg = dataclasses.replace(
+                cfg, profile=dataclasses.replace(cfg.profile, ladder=ladder))
+            kwargs["n_restarts"] = 1
+        elif nuclear:
+            kwargs["n_restarts"] = 1
+        res = solve_lowrank_multi_pair(key, ap, b.astype(jnp.float32),
+                                       nt, nr, cfg, **kwargs)
+        # complex dtypes may not exist on the compute device (that is the
+        # point of the pair path) — assemble the complex result on the host
+        import numpy as np
+
+        x = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+        return AdmmResult(x=x, y=np.asarray(a) @ x, quality=res.quality,
+                          converged=res.converged)
     if version == 0:
         return solve_minl2(key, a, b, cfg)
     if version in (1, 2, 3):

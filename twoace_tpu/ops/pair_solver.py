@@ -1,0 +1,632 @@
+"""The full 2ACE "A2" solver in pair (re, im) representation — end-to-end
+on-TPU path.
+
+:mod:`.admm` implements the solver family with complex dtypes (ideal for
+CPU/parity work); some TPU runtimes (including the tunneled backend this
+repo benches on) do not implement complex dtypes at all, and the MXU is
+real-valued regardless.  This module re-expresses the *entire*
+``inferLowRankV4_multi`` scaffold — spectral init, over-parameterized ADMM
+with best-so-far tracking and residual convergence, column
+orthonormalization, restarts, quality-gated rank-1 fallback, full-data
+refinement with similarity rollback (ref:
+main/src/my_recovery_algorithms/ADMM_v2/inferLowRankV4_multi.m:5-109) —
+in the transposed (r-leading) pair layout of
+:func:`.cplx.admm_iteration_pair_t`:
+
+  - all state arrays carry the over-parameterization axis r first, keeping
+    the MXU lane dimension at n or m (never the thin r), see
+    ``admm_iteration_pair_t`` for the layout rationale;
+  - Hermitian eigenproblems run on the real symmetric embedding
+    ``[[Hr, -Hi], [Hi, Hr]]`` (Jacobi for the in-loop Z-prox Gram,
+    Cholesky/orthogonal-iteration for the one-time precomputes);
+  - data-dependent control flow (convergence, mu adaptation, rank-1 retry,
+    rollback) is ``lax.while_loop`` carry state and ``lax.cond`` branches,
+    identical in structure to the complex path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import AdmmConfig
+from .cplx import (
+    Pair,
+    add,
+    conj,
+    embed_hermitian,
+    eigh_update_perturbative,
+    magnitude_prox_cols,
+    matmul,
+    unembed,
+)
+from .eigh_jacobi import eigh_jacobi
+from .prox import profile_ladder
+
+
+class PairAdmmResult(NamedTuple):
+    x: Pair               #: (n,) recovered vec(H) as a pair
+    quality: jax.Array    #: held-out quality 1 - ||(|A x|) - b|| / ||b||
+    converged: jax.Array  #: bool
+
+
+# ---------------------------------------------------------------------------
+# small pair helpers (transposed layout: matrices are (r, n) / (r, m))
+
+def _t(p: Pair) -> Pair:
+    return Pair(jnp.swapaxes(p.re, -1, -2), jnp.swapaxes(p.im, -1, -2))
+
+
+def _fro2(p: Pair):
+    return jnp.sum(p.re * p.re + p.im * p.im)
+
+
+def _norm(p: Pair):
+    return jnp.sqrt(_fro2(p))
+
+
+def _scale(p: Pair, s) -> Pair:
+    return Pair(p.re * s, p.im * s)
+
+
+def _sub(a: Pair, b: Pair) -> Pair:
+    return Pair(a.re - b.re, a.im - b.im)
+
+
+def _zeros(shape) -> Pair:
+    return Pair(jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+
+
+def precompute_u_pair(a: Pair, reg: float = 1.0) -> Pair:
+    """U = inv(A^H A + reg I) as a pair, via the real symmetric embedding.
+
+    The embedding is an algebra isomorphism, so inv(embed(G)) = embed(inv(G));
+    a real Cholesky factorization + triangular solves of the (2n, 2n)
+    embedding recover the complex inverse.  ref: inferLowRankV4_multi.m:241-247.
+    """
+    n = a.shape[-1]
+    g = matmul(_t(conj(a)), a)                                   # A^H A
+    g = Pair(0.5 * (g.re + g.re.T) + reg * jnp.eye(n, dtype=jnp.float32),
+             0.5 * (g.im - g.im.T))
+    g_emb = embed_hermitian(g)
+    c = jnp.linalg.cholesky(g_emb)
+    eye = jnp.eye(2 * n, dtype=jnp.float32)
+    w = jax.scipy.linalg.solve_triangular(c, eye, lower=True)
+    return unembed(w.T @ w, n)
+
+
+def _cholqr(z):
+    """Orthonormalize columns of real ``z`` by two rounds of Cholesky-QR
+    (matmul + Cholesky + triangular solve only — no Householder QR)."""
+    for _ in range(2):
+        g = z.T @ z
+        g = g + 1e-7 * jnp.trace(g) / g.shape[0] * jnp.eye(
+            g.shape[0], dtype=z.dtype)
+        c = jnp.linalg.cholesky(g)
+        z = jax.scipy.linalg.solve_triangular(c, z.T, lower=True).T
+    return z
+
+
+def spectral_initialize_pair(a: Pair, b, r: int, key=None,
+                             iters: int = 24) -> Pair:
+    """Transposed-layout spectral init: X0^T of shape (r, n).
+
+    Rows of A are scaled by b_i/||A_i||; the top-r eigenpairs of the scaled
+    Gram (computed by orthogonal iteration on the real 2n x 2n embedding,
+    Cholesky-QR orthonormalization) are scaled by sqrt(eigenvalue).
+    ref: inferLowRankV4_multi.m:561-574.  Embedded eigenvectors [vr; vi]
+    map back to complex eigenvectors vr + i*vi; the embedding duplicates
+    every eigenvalue, so the iteration runs at width 2r and keeps every
+    other Ritz vector.
+    """
+    m, n = a.shape
+    r = min(r, m, n)
+    row_norm = jnp.sqrt(jnp.maximum(
+        jnp.sum(a.re * a.re + a.im * a.im, axis=-1), 1e-30))
+    s = jnp.where(row_norm > 1e-15, b / row_norm, 1.0)
+    a_s = Pair(a.re * s[:, None], a.im * s[:, None])
+    g = matmul(_t(conj(a_s)), a_s)
+    g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
+    g_emb = embed_hermitian(g)                                   # (2n, 2n)
+
+    if key is None:
+        key = jax.random.PRNGKey(17)
+    q = jax.random.normal(key, (2 * n, 2 * r), jnp.float32)
+
+    def body(q, _):
+        return _cholqr(g_emb @ q), None
+
+    q, _ = lax.scan(body, _cholqr(q), None, length=iters)
+    rr = q.T @ (g_emb @ q)
+    rr = 0.5 * (rr + rr.T)
+    w, v = eigh_jacobi(rr)                                       # descending
+    ritz = q @ v                                                 # (2n, 2r)
+    w = jnp.maximum(w[0::2], 0.0)                                # dedup pairs
+    vecs = ritz[:, 0::2]                                         # (2n, r)
+    x0 = Pair(vecs[:n, :], vecs[n:, :])                          # complex cols
+    x0 = Pair(x0.re * jnp.sqrt(w)[None, :], x0.im * jnp.sqrt(w)[None, :])
+    return _t(x0)                                                # (r, n)
+
+
+def project_cols_to_magnitude(y: Pair, b, scale_by_row: bool) -> Pair:
+    """Transposed-layout ``normalize_rows``: set the per-measurement
+    magnitude of Y (r, m) exactly to b (m,).  ref: inferLowRankV4_multi.m:538-559.
+    """
+    if scale_by_row:
+        d2 = jnp.sum(y.re * y.re + y.im * y.im, axis=-2, keepdims=True)
+        r = y.shape[-2]
+        zero = d2 <= 0
+        yr = jnp.where(zero, 1.0 / math.sqrt(r), y.re)
+        yi = jnp.where(zero, 0.0, y.im)
+        d = jnp.sqrt(jnp.where(zero, 1.0, d2))
+        c = b[..., None, :] / d
+        return Pair(yr * c, yi * c)
+    d2 = y.re * y.re + y.im * y.im
+    zero = d2 <= 0
+    yr = jnp.where(zero, 1.0, y.re)
+    yi = jnp.where(zero, 0.0, y.im)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
+    c = b[..., None, :] / d
+    return Pair(yr * c, yi * c)
+
+
+def magnitude_prox_cols_elem(ax: Pair, b, m_dual: Pair, mu) -> Pair:
+    """Transposed-layout elementwise magnitude prox (scale_by_row=False):
+    each column of X is an independent candidate, so each entry of Y is
+    pulled toward |y| = b_i.  ref: inferLowRankV4_multi.m:525-533."""
+    inv_mu = 1.0 / mu
+    yr = ax.re + m_dual.re * inv_mu
+    yi = ax.im + m_dual.im * inv_mu
+    d2 = yr * yr + yi * yi
+    zero = d2 <= 0
+    yr = jnp.where(zero, 1.0, yr)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
+    coeff = (b[..., None, :] / d + mu) / (1.0 + mu)
+    return Pair(yr * coeff, yi * coeff)
+
+
+def _panel_maps(nt: int, nr: int, r: int):
+    def to_panel(xx):
+        return xx.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt)
+
+    def from_panel(ee):
+        return ee.reshape(nr, r, nt).transpose(1, 2, 0).reshape(r, nt * nr)
+
+    return to_panel, from_panel
+
+
+def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
+                     v0, eig_mode: str):
+    """Transposed-layout spectral-profile prox; returns (z_new, basis)."""
+    from .cplx import _panel_spectral_prox
+
+    r = z.shape[-2]
+    to_panel, from_panel = _panel_maps(nt, nr, r)
+    e = Pair(to_panel(z.re), to_panel(z.im))
+    e_new, v = _panel_spectral_prox(e, nr, ladder, sweeps, v0,
+                                    eig_mode=eig_mode)
+    return Pair(from_panel(e_new.re), from_panel(e_new.im)), v
+
+
+def _nuclear_prox_t(z: Pair, thresh) -> Pair:
+    """Transposed-layout nuclear prox: SVD soft-threshold of Z^T (n, r) via
+    the r x r Gram.  ref: inferLowRank_Nuclear.m:411-439."""
+    r = z.shape[-2]
+    g = matmul(conj(z), _t(z))     # g_cd = sum_k conj(Z_kc) Z_kd = (Z^H Z)_cd
+    g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
+    w, v_emb = eigh_jacobi(embed_hermitian(g))
+    s = jnp.sqrt(jnp.maximum(w[0::2], 0.0))
+    ratio = jnp.maximum(s - thresh, 0.0) / jnp.maximum(s, 1e-30)
+    coeff = jnp.repeat(ratio, 2)
+    m_emb = (v_emb * coeff[None, :]) @ v_emb.T                   # V ratio V^H
+    m_pair = unembed(m_emb, r)
+    # Z_new = Z (V ratio V^H)  =>  z_new = (V ratio V^H)^T z = conj(M) z
+    return matmul(conj(m_pair), z)
+
+
+def _quality_pair(a_test: Pair, b_test, x: Pair):
+    """1 - ||(|A_test x|) - b_test|| / ||b_test|| for single-column x
+    ((n,) or (1, n)).  ref: inferLowRankV4_multi.m:68."""
+    if x.re.ndim == 1:
+        x = Pair(x.re[None, :], x.im[None, :])
+    ax = matmul(x, _t(a_test))                                   # (1, m)
+    amp = jnp.sqrt(jnp.maximum(ax.re ** 2 + ax.im ** 2, 0.0))[0]
+    return 1.0 - (jnp.linalg.norm(amp - b_test)
+                  / jnp.maximum(jnp.linalg.norm(b_test), 1e-30))
+
+
+def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
+                    nt: int, nr: int,
+                    ladder: Optional[Tuple[Tuple[int, float], ...]],
+                    u_mat: Optional[Pair] = None,
+                    prox_kind: str = "spectral_profile",
+                    mu0: float = 1e-3, rho: float = 1.03,
+                    tol_rel: float = 1e-4, tol_abs: float = 1e-8,
+                    maxiter: int = 500, sweeps: int = 1,
+                    eig_mode: str = "perturb"):
+    """One InferADMM solve in transposed pair layout.
+
+    Mirrors :func:`.admm.infer_admm` (ref: inferLowRankV4_multi.m:281-386):
+    X-update against precomputed U, magnitude prox, Z-prox (spectral-profile
+    ladder or nuclear soft-threshold), dual updates, best-so-far tracking,
+    three-residual convergence tests, and mu adaptation.  The Z-prox
+    eigenbasis is carried across iterations (``eig_mode='perturb'`` refines
+    it with ~5 small matmuls per iteration; ``'jacobi'`` runs ``sweeps``
+    warm Jacobi sweeps).
+
+    Returns ``(x_t, y_t, converged)`` with x_t (r, n), y_t (r, m).
+    """
+    m, n = a.shape
+    r = x0.shape[-2]
+    has_z = ladder is not None or prox_kind == "nuclear"
+
+    if u_mat is None:
+        u_mat = precompute_u_pair(a)
+    a_conj = Pair(a.re, -a.im)                                   # (m, n)
+    a_t = _t(a)                                                  # (n, m)
+    u_conj = Pair(u_mat.re, -u_mat.im)                           # U^T
+
+    def a_mul(x):                                                # (r,n)->(r,m)
+        return matmul(x, a_t)
+
+    def ah_mul(y):                                               # (r,m)->(r,n)
+        return matmul(y, a_conj)
+
+    def z_prox(z_in, mu, v0):
+        if prox_kind == "nuclear":
+            return _nuclear_prox_t(z_in, 1.0 / mu), v0
+        return _spectral_prox_t(z_in, nt, nr, ladder, sweeps, v0, eig_mode)
+
+    # --- initialization (ref :300-321) ---
+    x = x0
+    ax = a_mul(x)
+    if scale_by_row:
+        bn = jnp.linalg.norm(b)
+        x = _scale(x, bn / jnp.maximum(_norm(ax), 1e-30))
+    else:
+        col = jnp.sqrt(jnp.maximum(
+            jnp.sum(ax.re ** 2 + ax.im ** 2, axis=-1), 1e-30))   # (r,)
+        x = _scale(x, (jnp.linalg.norm(b) / col)[:, None])
+    ax = a_mul(x)
+    y = project_cols_to_magnitude(ax, b, scale_by_row)
+    aty = ah_mul(y)
+    if has_z:
+        # seed the warm eigenbasis with a cold Jacobi solve of the initial
+        # Gram (cheap, once per solve)
+        z, v_basis = z_prox(x, jnp.asarray(1.0, jnp.float32), None)
+        if prox_kind == "nuclear":
+            v_basis = jnp.eye(2 * nr, dtype=jnp.float32)
+    else:
+        z = _zeros((1, 1))
+        v_basis = jnp.eye(2, dtype=jnp.float32)
+
+    init = dict(y=y, z=z, m_dual=_zeros((r, m)),
+                n_dual=_zeros((r, n)) if has_z else _zeros((1, 1)),
+                aty=aty, v_basis=v_basis,
+                mu=jnp.asarray(mu0, jnp.float32),
+                last_res=jnp.asarray(jnp.inf, jnp.float32),
+                opt_obj=jnp.asarray(jnp.inf, jnp.float32),
+                opt_x=_zeros((r, n)) if scale_by_row else _zeros((n,)),
+                opt_y=_zeros((r, m)) if scale_by_row else _zeros((m,)),
+                it=jnp.asarray(0, jnp.int32),
+                done=jnp.asarray(False), converged=jnp.asarray(False))
+
+    def cond(c):
+        return jnp.logical_and(c["it"] < maxiter, jnp.logical_not(c["done"]))
+
+    def body(c):
+        y0, z0, aty0 = c["y"], c["z"], c["aty"]
+        mu = c["mu"]
+        inv_mu = 1.0 / mu
+
+        # X-update (ref :401-409)
+        if has_z:
+            t = Pair(y0.re - c["m_dual"].re * inv_mu,
+                     y0.im - c["m_dual"].im * inv_mu)
+            rhs = add(ah_mul(t), Pair(z0.re - c["n_dual"].re * inv_mu,
+                                      z0.im - c["n_dual"].im * inv_mu))
+            x = matmul(rhs, u_conj)
+        else:
+            t = Pair(y0.re - c["m_dual"].re * inv_mu,
+                     y0.im - c["m_dual"].im * inv_mu)
+            x = matmul(t, u_conj)                                # U = pinv^T'
+        ax = a_mul(x)
+
+        # Y-update (ref :511-533)
+        if scale_by_row:
+            y = magnitude_prox_cols(ax, b, c["m_dual"], mu)
+        else:
+            y = magnitude_prox_cols_elem(ax, b, c["m_dual"], mu)
+        aty = ah_mul(y)
+
+        # Z-update (ref :423-485)
+        if has_z:
+            z_in = Pair(x.re + c["n_dual"].re * inv_mu,
+                        x.im + c["n_dual"].im * inv_mu)
+            z, v_basis = z_prox(z_in, mu, c["v_basis"])
+        else:
+            z, v_basis = z0, c["v_basis"]
+
+        # dual updates (ref :336-341)
+        j_m = _sub(ax, y)
+        m_dual = Pair(c["m_dual"].re + mu * j_m.re,
+                      c["m_dual"].im + mu * j_m.im)
+        if has_z:
+            j_n = _sub(x, z)
+            n_dual = Pair(c["n_dual"].re + mu * j_n.re,
+                          c["n_dual"].im + mu * j_n.im)
+        else:
+            j_n = _zeros((1, 1))
+            n_dual = c["n_dual"]
+
+        # best-so-far (ref :343-361)
+        if scale_by_row:
+            amp = jnp.sqrt(jnp.maximum(
+                jnp.sum(ax.re ** 2 + ax.im ** 2, axis=-2), 0.0))
+            obj = jnp.linalg.norm(amp - b)
+            better = obj < c["opt_obj"]
+            opt_x = Pair(jnp.where(better, x.re, c["opt_x"].re),
+                         jnp.where(better, x.im, c["opt_x"].im))
+            opt_y = Pair(jnp.where(better, y.re, c["opt_y"].re),
+                         jnp.where(better, y.im, c["opt_y"].im))
+            opt_obj = jnp.minimum(obj, c["opt_obj"])
+        else:
+            amp = jnp.sqrt(jnp.maximum(ax.re ** 2 + ax.im ** 2, 0.0))
+            objs = jnp.linalg.norm(amp - b[None, :], axis=-1)    # (r,)
+            j = jnp.argmin(objs)
+            obj = objs[j]
+            better = obj < c["opt_obj"]
+            opt_x = Pair(jnp.where(better, x.re[j], c["opt_x"].re),
+                         jnp.where(better, x.im[j], c["opt_x"].im))
+            opt_y = Pair(jnp.where(better, y.re[j], c["opt_y"].re),
+                         jnp.where(better, y.im[j], c["opt_y"].im))
+            opt_obj = jnp.minimum(obj, c["opt_obj"])
+
+        # convergence tests (ref :363-375)
+        nax, ny = _norm(ax), _norm(y)
+        naty = _norm(aty)
+        if has_z:
+            nx, nz = _norm(x), _norm(z)
+            res_prim = jnp.sqrt(_fro2(j_m) + _fro2(j_n))
+            res_dual = mu * jnp.sqrt(_fro2(_sub(aty, aty0))
+                                     + _fro2(_sub(z, z0)))
+            res_comb = jnp.sqrt(res_prim ** 2 + _fro2(_sub(y, y0))
+                                + _fro2(_sub(z, z0)))
+            t_prim = (tol_abs * math.sqrt((m + n) * r)
+                      + tol_rel * jnp.sqrt(jnp.maximum(nax, ny) ** 2
+                                           + jnp.maximum(nx, nz) ** 2))
+            t_dual = (tol_abs * math.sqrt(n * r * 2)
+                      + tol_rel * jnp.sqrt(naty ** 2 + nz ** 2))
+            t_comb = (tol_abs * math.sqrt((m + n) * r * 2)
+                      + tol_rel * jnp.sqrt(jnp.maximum(nax, ny) ** 2
+                                           + jnp.maximum(nx, nz) ** 2
+                                           + ny ** 2 + nz ** 2))
+        else:
+            res_prim = _norm(j_m)
+            res_dual = mu * _norm(_sub(aty, aty0))
+            res_comb = jnp.sqrt(res_prim ** 2 + _fro2(_sub(y, y0)))
+            t_prim = tol_abs * math.sqrt(m * r) + tol_rel * jnp.maximum(nax, ny)
+            t_dual = tol_abs * math.sqrt(n * r) + tol_rel * naty
+            t_comb = (tol_abs * math.sqrt(m * r * 2)
+                      + tol_rel * jnp.sqrt(jnp.maximum(nax, ny) ** 2 + ny ** 2))
+
+        converged = jnp.logical_or(
+            jnp.logical_and(res_prim < t_prim, res_dual < t_dual),
+            res_comb < t_comb)
+        mu = jnp.where(res_comb > c["last_res"] * 0.9, mu * rho, mu)
+
+        return dict(y=y, z=z, m_dual=m_dual, n_dual=n_dual, aty=aty,
+                    v_basis=v_basis, mu=mu, last_res=res_comb,
+                    opt_obj=opt_obj, opt_x=opt_x, opt_y=opt_y,
+                    it=c["it"] + 1, done=converged, converged=converged)
+
+    out = lax.while_loop(cond, body, init)
+    return out["opt_x"], out["opt_y"], out["converged"]
+
+
+def _orthonormalize_cols_t(x: Pair) -> Pair:
+    """X <- X * eigvec(X^H X) in transposed layout (ref :263-264)."""
+    r = x.shape[-2]
+    g = matmul(conj(x), _t(x))     # g_cd = sum_k conj(X_kc) X_kd = (X^H X)_cd
+    g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
+    _, v_emb = eigh_jacobi(embed_hermitian(g))
+    # Build the complex eigvec matrix from every other embedded column:
+    # [vr; vi] -> vr + i vi (the embedding duplicates each eigenvalue).
+    vecs = v_emb[:, 0::2]
+    v_c = Pair(vecs[:r, :], vecs[r:, :])                         # (r, r) cols
+    # x_new^T = (X V)^T = V^T X^T  => pair matmul with V^T (no conjugate)
+    return matmul(_t(v_c), x)
+
+
+def _normalize_problem_pair(a: Pair, b, tol_abs: float):
+    """Scale A to ||A||_F = sqrt(m), B to unit norm (ref :27-38)."""
+    m = a.shape[0]
+    a_norm = _norm(a) / math.sqrt(m)
+    a_norm = jnp.where(a_norm < tol_abs, 1.0, a_norm)
+    b_norm = jnp.linalg.norm(b)
+    b_norm = jnp.where(b_norm < tol_abs, 1.0, b_norm)
+    return _scale(a, 1.0 / a_norm), b / b_norm, a_norm, b_norm
+
+
+def _split(key, m: int, frac: float, use_floor: bool = True):
+    k = int(math.floor(m * frac)) if use_floor else int(math.ceil(m * frac))
+    perm = jax.random.permutation(key, m)
+    return perm[:k], perm[k:]
+
+
+def _take_rows(a: Pair, idx) -> Pair:
+    return Pair(a.re[idx], a.im[idx])
+
+
+def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
+               cfg: AdmmConfig, prox_kind: str, eig_mode: str):
+    """inferLowRankImpl in pair layout (ref :111-271)."""
+    m, n = a.shape
+    ladder = (None if prox_kind == "nuclear" else
+              profile_ladder(nt, nr, m, n, use_rank_one,
+                             cfg.profile.rank_mults, cfg.profile.fractions,
+                             mode=cfg.profile.ladder))
+    u_mat = precompute_u_pair(a)
+    kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
+              mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
+              tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode)
+    x, y, _ = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
+    x = _orthonormalize_cols_t(x)
+    x, y, converged = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
+    return x, y, converged
+
+
+def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
+                      eig_mode):
+    """Full-data refinement with traced use_rank_one flag (ref :92,:100)."""
+    m, n = a.shape
+
+    def run(use_r1):
+        ladder = (None if prox_kind == "nuclear" else
+                  profile_ladder(nt, nr, m, n, use_r1,
+                                 cfg.profile.rank_mults,
+                                 cfg.profile.fractions,
+                                 mode=cfg.profile.ladder))
+        x, y, _ = infer_admm_pair(
+            a, b, x0, scale_by_row=True, nt=nt, nr=nr, ladder=ladder,
+            prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
+            tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
+            eig_mode=eig_mode)
+        return x, y
+
+    return lax.cond(rank_one_flag, lambda: run(True), lambda: run(False))
+
+
+@partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
+                                   "eig_mode", "n_restarts"))
+def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
+                                   cfg: AdmmConfig = AdmmConfig(),
+                                   prox_kind: str = "spectral_profile",
+                                   eig_mode: str = "perturb",
+                                   n_restarts: Optional[int] = None
+                                   ) -> PairAdmmResult:
+    """Batch of recoveries through ONE shared probing codebook.
+
+    The testbed's production setting: every repeat / M-subset / restart
+    measures through the same flashed .brd codebook (ref: main/main.py:426-440),
+    so ``a`` is (m, n) unbatched while ``b_batch`` is (batch, m).  The
+    train/test split is drawn once per restart and shared across the batch,
+    which keeps the codebook un-batched inside the vmap — XLA then folds
+    (batch, r) into the matmul streaming dimension and the MXU runs at full
+    utilization (see bench.py; ~2.5x over per-instance codebooks).
+
+    Per-instance PRNG streams still drive the spectral initialization.
+    Returns a PairAdmmResult with a leading batch axis.
+    """
+    n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
+    batch = b_batch.shape[0]
+    keys = jax.random.split(jax.random.fold_in(key, 7), batch)
+
+    def solve_one(ki, b, splits):
+        return _solve_lowrank_core(ki, a, b, nt, nr, cfg, prox_kind,
+                                   eig_mode, n_restarts, splits)
+
+    # shared splits, drawn from the caller key (not per-instance)
+    m = a.shape[0]
+    splits = tuple(
+        _split(jax.random.split(jax.random.fold_in(key, i))[0], m,
+               cfg.cc_frac)
+        for i in range(n_restarts))
+    return jax.vmap(solve_one, in_axes=(0, 0, None))(keys, b_batch, splits)
+
+
+@partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
+                                   "eig_mode", "n_restarts"))
+def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
+                             cfg: AdmmConfig = AdmmConfig(),
+                             prox_kind: str = "spectral_profile",
+                             eig_mode: str = "perturb",
+                             n_restarts: Optional[int] = None
+                             ) -> PairAdmmResult:
+    """The 2ACE "A2" solver, fully in pair representation — runs end-to-end
+    on TPU runtimes without complex-dtype support.
+
+    Semantics mirror :func:`.admm.solve_lowrank_multi`
+    (ref: inferLowRankV4_multi.m:5-109): normalize, 3 restarts of
+    {train/test split, spectral init, over-parameterized ADMM +
+    orthonormalize + per-column refinement, quality check, rank-1 retry},
+    keep the best, full-data refinement with similarity rollback, rescale.
+    """
+    n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
+    return _solve_lowrank_core(key, a, b, nt, nr, cfg, prox_kind, eig_mode,
+                               n_restarts, None)
+
+
+def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
+                        prox_kind: str, eig_mode: str, n_restarts: int,
+                        splits) -> PairAdmmResult:
+    """Shared scaffold; ``splits`` optionally provides per-restart
+    (train, test) index vectors (used by the shared-codebook batch path)."""
+    m, n = a.shape
+    r = min(cfg.rank, m, n)
+    a, b, a_norm, b_norm = _normalize_problem_pair(a, b, cfg.tol_abs)
+    thr = cfg.quality_threshold
+
+    best = None
+    for i in range(n_restarts):
+        ki = jax.random.fold_in(key, i)
+        k_split, k_init = jax.random.split(ki)
+        if splits is None:
+            train, test = _split(k_split, m, cfg.cc_frac)
+        else:
+            train, test = splits[i]
+        a_tr, b_tr = _take_rows(a, train), b[train]
+        a_te, b_te = _take_rows(a, test), b[test]
+
+        xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
+        x, y, _ = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg, prox_kind,
+                             eig_mode)
+        q = _quality_pair(a_te, b_te, x)
+
+        if prox_kind != "nuclear":
+            poor = q < thr
+
+            def retry(xs=xs, a_tr=a_tr, b_tr=b_tr, a_te=a_te, b_te=b_te):
+                xr, yr, _ = _impl_pair(a_tr, b_tr, xs, nt, nr, True, cfg,
+                                       prox_kind, eig_mode)
+                return xr, yr, _quality_pair(a_te, b_te, xr)
+
+            x, y, q = lax.cond(poor, retry, lambda x=x, y=y, q=q: (x, y, q))
+            rank_one = poor
+        else:
+            rank_one = jnp.asarray(False)
+
+        if best is None:
+            best = (x, y, q, rank_one)
+        else:
+            better = q > best[2]
+            best = (Pair(jnp.where(better, x.re, best[0].re),
+                         jnp.where(better, x.im, best[0].im)),
+                    Pair(jnp.where(better, y.re, best[1].re),
+                         jnp.where(better, y.im, best[1].im)),
+                    jnp.maximum(q, best[2]),
+                    jnp.where(better, rank_one, best[3]))
+
+    x_max, y_max, q_max, rank_one = best                          # x_max (n,)
+    x_max = Pair(x_max.re[None, :], x_max.im[None, :])            # (1, n)
+
+    x_ref, y_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one, cfg,
+                                     prox_kind, eig_mode)
+    # similarity |<x_max, x_ref>| / (||x_max|| ||x_ref||)  (ref :93-98)
+    dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)
+    dot_im = jnp.sum(x_max.re * x_ref.im - x_max.im * x_ref.re)
+    similarity = (jnp.sqrt(dot_re ** 2 + dot_im ** 2)
+                  / jnp.maximum(_norm(x_max) * _norm(x_ref), 1e-30))
+    rollback = jnp.logical_and(q_max > thr,
+                               similarity < cfg.similarity_threshold)
+    x = Pair(jnp.where(rollback, x_max.re, x_ref.re),
+             jnp.where(rollback, x_max.im, x_ref.im))
+
+    scale = b_norm / a_norm
+    return PairAdmmResult(x=Pair(x.re[0] * scale, x.im[0] * scale),
+                          quality=q_max, converged=jnp.asarray(True))

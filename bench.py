@@ -107,14 +107,20 @@ def make_step(a, u_mat, ladder):
 
 
 def main():
-    from twoace_tpu.ops.cplx import Pair, matmul, panel_gram_basis
+    from twoace_tpu.ops.cplx import Pair, matmul, panel_gram_basis_pair
 
     a, b, u_mat, ladder = build_problem()
     ones = Pair(jnp.ones((BATCH, R, N), jnp.float32),
                 jnp.zeros((BATCH, R, N), jnp.float32))
     a_t = Pair(a.re.T, a.im.T)
     y0 = jax.vmap(lambda p: matmul(p, a_t))(ones)
-    basis0 = jax.vmap(lambda z: panel_gram_basis(z, NT, NR))(ones)
+
+    def seed_basis(z):
+        e = Pair(z.re.reshape(R, NT, NR).transpose(2, 0, 1).reshape(NR, R * NT),
+                 z.im.reshape(R, NT, NR).transpose(2, 0, 1).reshape(NR, R * NT))
+        return panel_gram_basis_pair(e)[1]
+
+    basis0 = jax.vmap(seed_basis)(ones)
     state = (y0, ones,
              Pair(jnp.zeros((BATCH, R, M), jnp.float32),
                   jnp.zeros((BATCH, R, M), jnp.float32)),

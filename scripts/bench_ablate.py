@@ -24,8 +24,9 @@ NT = NR = 16
 N = NT * NR
 M = 4 * N
 R = 20
-BATCH = 256
+BATCH = int(os.environ.get("BATCH", 256))
 ITERS = 100
+SHARED = os.environ.get("SHARED", "0") == "1"
 
 
 def build(seed=0):
@@ -126,7 +127,15 @@ def main():
             s, _ = jax.lax.scan(body, s, None, length=ITERS)
             return s
 
-        vrun = jax.vmap(run, in_axes=(0, 0, 0, 0))
+        if SHARED:
+            vrun0 = jax.vmap(run, in_axes=(None, 0, None, 0))
+            a0 = Pair(a.re[0], a.im[0])
+            u0 = Pair(u_mat.re[0], u_mat.im[0])
+
+            def vrun(a_, b_, u_, s):
+                return vrun0(a0, b_, u0, s)
+        else:
+            vrun = jax.vmap(run, in_axes=(0, 0, 0, 0))
 
         def rr(a_, b_, u_, s):
             out = vrun(a_, b_, u_, s)
@@ -150,8 +159,9 @@ def main():
 
     for mode in ["full", "no-zprox", "no-yprox", "matmul-only"]:
         bench(mode)
-    for prec in ["bfloat16", "tensorfloat32", "float32"]:
-        bench("full", prec)
+    if not SHARED:
+        for prec in ["bfloat16", "tensorfloat32", "float32"]:
+            bench("full", prec)
 
 
 if __name__ == "__main__":

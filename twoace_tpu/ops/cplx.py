@@ -209,6 +209,112 @@ def eigh_update_perturbative(g, v0, ns_steps: int = 3,
     return w, v
 
 
+def eigh_update_perturbative_pair(g: Pair, v0: Pair, ns_steps: int = 2,
+                                  rel_gap: float = 1e-3,
+                                  max_norm: float = 0.7):
+    """Complex-pair warm eigenbasis refinement (no real embedding).
+
+    Same scheme as :func:`eigh_update_perturbative` but directly on the
+    Hermitian pair ``g`` (..., n, n) with a unitary pair basis ``v0``:
+    rotate ``g' = v0^H g v0``, first-order anti-Hermitian correction
+    ``C_ij = g'_ij / (l_j - l_i)`` (masked near degeneracy, Frobenius-capped),
+    ``v = v0 (I + C)``, then ``ns_steps`` Newton-Schulz re-unitarizations.
+    Working at size n instead of the 2n embedding roughly halves the
+    sequential matmul latency of the ADMM Z-prox.
+
+    Returns ``(lam, v)`` with lam the (UNSORTED) Rayleigh eigenvalue
+    estimates aligned with v's columns.
+    """
+    n = g.shape[-1]
+    gr = matmul_herm_t(v0, matmul(g, v0))                    # v0^H g v0
+    lam = jnp.diagonal(gr.re, axis1=-2, axis2=-1)
+    gap = lam[..., None, :] - lam[..., :, None]              # l_j - l_i
+    mag = jnp.abs(lam[..., None, :]) + jnp.abs(lam[..., :, None])
+    ok = jnp.abs(gap) > rel_gap * jnp.maximum(mag, 1e-30)
+    denom = jnp.where(ok, gap, 1.0)
+    c = Pair(jnp.where(ok, gr.re / denom, 0.0),
+             jnp.where(ok, gr.im / denom, 0.0))
+    # exact correction is anti-Hermitian; project and cap ||C||_F
+    c = Pair(0.5 * (c.re - jnp.swapaxes(c.re, -1, -2)),
+             0.5 * (c.im + jnp.swapaxes(c.im, -1, -2)))
+    fro = jnp.sqrt(jnp.sum(c.re * c.re + c.im * c.im, axis=(-2, -1),
+                           keepdims=True))
+    capped = jnp.minimum(1.0, max_norm / jnp.maximum(fro, 1e-30))
+    c = Pair(c.re * capped, c.im * capped)
+    v = add(v0, matmul(v0, c))
+    eye = jnp.eye(n, dtype=v.re.dtype)
+    for _ in range(ns_steps):
+        vtv = matmul_herm_t(v, v)
+        v = matmul(v, Pair(1.5 * eye - 0.5 * vtv.re, -0.5 * vtv.im))
+    return lam, v
+
+
+def ladder_scales(w, ladder):
+    """Per-eigenvalue multipliers of the 2ACE constraint ladder, computed on
+    the UNSORTED spectrum ``w`` (..., k) and returned in the same order.
+
+    The ladder semantics (ref: inferLowRankV4_multi.m:437-480) are defined on
+    the descending spectrum; sorting happens on the (cheap) eigenvalue
+    vector only, and the resulting scales are scattered back so the
+    eigenvector matrix never needs reordering.
+    """
+    order = jnp.argsort(-w, axis=-1)
+    w_s = jnp.take_along_axis(w, order, axis=-1)
+    scale = jnp.ones_like(w_s)
+    v_tot = jnp.sum(w_s, axis=-1)
+    idx = jnp.arange(w_s.shape[-1])
+    for rk, f in ladder:
+        vr = jnp.sum(jnp.where(idx < rk, w_s, 0.0), axis=-1)
+        need = vr < v_tot * f
+        s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
+                        * (1.0 / f - 1.0))
+        s = jnp.where(need, s, 1.0)
+        mult = jnp.where(idx >= rk, s[..., None], 1.0)
+        w_s = w_s * mult
+        scale = scale * mult
+        v_tot = jnp.sum(w_s, axis=-1)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(scale, inv, axis=-1)
+
+
+def panel_gram_basis_pair(e: Pair, sweeps: int = 8):
+    """Cold complex-pair eigenbasis of the panel Gram E E^H, via one real
+    Jacobi solve on the embedding (used to seed the warm perturbative
+    Z-prox).  Returns ``(w, v)`` with w descending and v a unitary Pair."""
+    nr = e.shape[-2]
+    g = matmul(e, conj(Pair(jnp.swapaxes(e.re, -1, -2),
+                            jnp.swapaxes(e.im, -1, -2))))
+    g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+             0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+    w_emb, v_emb = eigh_jacobi(embed_hermitian(g), sweeps=sweeps)
+    # every other embedded column [vr; vi] -> complex eigvec vr + i vi
+    return (w_emb[..., 0::2],
+            Pair(v_emb[..., :nr, 0::2], v_emb[..., nr:, 0::2]))
+
+
+def _panel_spectral_prox_c(e: Pair, nr: int, ladder, v0):
+    """Complex-pair spectral-profile prox (the fast warm path).
+
+    ``v0``: unitary Pair basis from the previous iteration, or None for a
+    cold start.  Returns ``(e_new, v)``.
+    """
+    if v0 is None:
+        w, v = panel_gram_basis_pair(e)
+    else:
+        g = matmul(e, conj(Pair(jnp.swapaxes(e.re, -1, -2),
+                                jnp.swapaxes(e.im, -1, -2))))
+        g = Pair(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+                 0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+        w, v = eigh_update_perturbative_pair(g, v0)
+    scale = ladder_scales(jnp.maximum(w, 0.0), ladder)
+    coeff = jnp.sqrt(scale) - 1.0
+    vc = Pair(v.re * coeff[..., None, :], v.im * coeff[..., None, :])
+    delta = matmul(vc, Pair(jnp.swapaxes(v.re, -1, -2),
+                            -jnp.swapaxes(v.im, -1, -2)))      # vc @ v^H
+    e_new = add(e, matmul(delta, e))
+    return e_new, v
+
+
 def _panel_spectral_prox(e: Pair, nr: int, ladder, sweeps: int, v0,
                          eig_mode: str = "jacobi"):
     """Spectral-profile prox on a channel panel ``e`` (nr, cols).
@@ -298,10 +404,13 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
         (Ax)^T = x^T A^T                           (r,n)@(n,m)
 
     State: ``(y_t, z_t, m_t, n_t, mu, v_basis)``; v_basis is the warm
-    eigenbasis of the embedded Z-prox Gram (2nr, 2nr) — seed with
-    ``jnp.eye(2*nr)``.  ``eig_mode``: "jacobi" = warm Jacobi (``sweeps``
-    full sweeps), "perturb" = first-order perturbative basis update
-    (~5 matmuls, lowest latency).
+    eigenbasis of the Z-prox Gram.  ``eig_mode``:
+      - "jacobi": warm Jacobi (``sweeps`` full sweeps) on the real (2nr, 2nr)
+        embedding; seed v_basis with ``jnp.eye(2*nr)``.
+      - "perturb": first-order perturbative basis update, lowest latency.
+        Seed v_basis with a *Pair* basis from :func:`panel_gram_basis_pair`
+        for the fast complex-pair path (n-sized matmuls), or with a real
+        (2nr, 2nr) basis for the embedding variant.
     """
     a_conj = Pair(a.re, -a.im)                                # (m, n)
     a_t = Pair(jnp.swapaxes(a.re, -1, -2),
@@ -331,8 +440,12 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                 r, nt * nr)
 
         e = Pair(to_panel(z_in.re), to_panel(z_in.im))
-        e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps, v_basis,
-                                            eig_mode=eig_mode)
+        if eig_mode == "perturb" and (v_basis is None
+                                      or isinstance(v_basis, Pair)):
+            e_new, v_new = _panel_spectral_prox_c(e, nr, ladder, v_basis)
+        else:
+            e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps,
+                                                v_basis, eig_mode=eig_mode)
         z_new = Pair(from_panel(e_new.re), from_panel(e_new.im))
         m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
                      m_dual.im + mu * (ax.im - y_new.im))

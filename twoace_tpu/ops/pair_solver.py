@@ -203,13 +203,16 @@ def _panel_maps(nt: int, nr: int, r: int):
 def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
                      v0, eig_mode: str):
     """Transposed-layout spectral-profile prox; returns (z_new, basis)."""
-    from .cplx import _panel_spectral_prox
+    from .cplx import _panel_spectral_prox, _panel_spectral_prox_c
 
     r = z.shape[-2]
     to_panel, from_panel = _panel_maps(nt, nr, r)
     e = Pair(to_panel(z.re), to_panel(z.im))
-    e_new, v = _panel_spectral_prox(e, nr, ladder, sweeps, v0,
-                                    eig_mode=eig_mode)
+    if eig_mode == "perturb" and (v0 is None or isinstance(v0, Pair)):
+        e_new, v = _panel_spectral_prox_c(e, nr, ladder, v0)
+    else:
+        e_new, v = _panel_spectral_prox(e, nr, ladder, sweeps, v0,
+                                        eig_mode=eig_mode)
     return Pair(from_panel(e_new.re), from_panel(e_new.im)), v
 
 

@@ -52,6 +52,9 @@ class SimulationConfig:
                                        plgamp=True)
     admm: AdmmConfig = AdmmConfig()
     n_trials: int = 10
+    #: "complex" (CPU-friendly) or "pair" — the (re, im) float32 path that
+    #: runs on TPU runtimes without complex-dtype support (ops/pair_solver)
+    impl: str = "complex"
 
 
 class SweepResult(NamedTuple):
@@ -66,20 +69,25 @@ def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
     out: Dict[str, np.ndarray] = {}
     batch = meas.norm_square.shape[0]
 
-    # sparse-domain baselines: per-instance host loop (adaptive internals)
+    # sparse-domain baselines: per-instance host loop (adaptive internals);
+    # complex-dtype, so pinned to CPU under impl="pair"
+    import contextlib
+    base_ctx = (jax.default_device(jax.devices("cpu")[0])
+                if sim.impl == "pair" else contextlib.nullcontext())
     base_flags = dataclasses.replace(sim.methods, admm_lowrank_v4=False,
                                      admm=False, admm_nuclear=False)
     if base_flags.enabled() or sim.add_noise:
         per_inst = []
-        for u in range(batch):
-            res = recover_sparse(
-                jax.random.fold_in(key, u),
-                meas.norm_square[u], sensing.measurement_mat[u],
-                base_flags, s=sim.channel.n_paths,
-                noise_power=float(meas.noise_power),
-                measurements_perfect=meas.perfect_phase[u],
-                measurements_noisy=meas.noisy_phase[u])
-            per_inst.append(res)
+        with base_ctx:
+            for u in range(batch):
+                res = recover_sparse(
+                    jax.random.fold_in(key, u),
+                    meas.norm_square[u], sensing.measurement_mat[u],
+                    base_flags, s=sim.channel.n_paths,
+                    noise_power=float(meas.noise_power),
+                    measurements_perfect=meas.perfect_phase[u],
+                    measurements_noisy=meas.noisy_phase[u])
+                per_inst.append(res)
         for name in per_inst[0]:
             out[name] = np.stack([np.asarray(r[name]) for r in per_inst])
 
@@ -88,14 +96,36 @@ def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
         prox = "nuclear" if sim.methods.admm_nuclear else "spectral_profile"
         keys = jax.random.split(jax.random.fold_in(key, 999), batch)
         b = jnp.sqrt(meas.norm_square)
-
-        def solve(k, a, bb):
-            return solve_lowrank_multi(k, a, bb, cfg.nt, cfg.nr, sim.admm,
-                                       prox_kind=prox).x
-        xs = jax.vmap(solve)(keys, sensing.fw, b)
         name = "admm_nuclear" if sim.methods.admm_nuclear \
             else "admm_lowrank_v4"
-        out[name] = np.asarray(xs)
+
+        if sim.impl == "pair":
+            # accelerator path: per-instance codebooks, pair representation.
+            # Problem data may live on CPU (complex channel/measurement
+            # generation); ship only the float32 pair to the compute device.
+            from ..ops.cplx import Pair
+            from ..ops.pair_solver import solve_lowrank_multi_pair
+
+            fw = np.asarray(sensing.fw)
+            dev = jax.devices()[0]
+            are = jax.device_put(jnp.asarray(fw.real, jnp.float32), dev)
+            aim = jax.device_put(jnp.asarray(fw.imag, jnp.float32), dev)
+            bf = jax.device_put(jnp.asarray(np.asarray(b), jnp.float32), dev)
+            keys = jax.device_put(keys, dev)
+
+            def solve_p(k, ar, ai, bb):
+                res = solve_lowrank_multi_pair(
+                    k, Pair(ar, ai), bb, cfg.nt, cfg.nr, sim.admm,
+                    prox_kind=prox)
+                return res.x.re, res.x.im
+            xr, xi = jax.vmap(solve_p)(keys, are, aim, bf)
+            out[name] = np.asarray(xr) + 1j * np.asarray(xi)
+        else:
+            def solve(k, a, bb):
+                return solve_lowrank_multi(k, a, bb, cfg.nt, cfg.nr,
+                                           sim.admm, prox_kind=prox).x
+            xs = jax.vmap(solve)(keys, sensing.fw, b)
+            out[name] = np.asarray(xs)
     return out
 
 
@@ -121,20 +151,31 @@ def _evaluate(out, rep, ch, sim: SimulationConfig):
 def _one_cell(key, sim: SimulationConfig, mt: int, mr: int,
               searching_area: float):
     """One (config, M) Monte-Carlo cell: channels -> sensing -> measurements
-    -> recovery -> metrics (ref: Vs_M_par.m:149-197)."""
+    -> recovery -> metrics (ref: Vs_M_par.m:149-197).
+
+    With ``impl="pair"`` the complex-dtype generation/evaluation stages are
+    pinned to CPU (TPU runtimes may lack complex support); only the pair-form
+    solves run on the accelerator (see :func:`_recover_all`).
+    """
     cfg = sim.array
     ks = jax.random.split(key, 4)
-    ch = generate_channel(ks[0], cfg, sim.channel, batch=sim.n_trials)
-    rep = sparse_formulation(cfg, ch, searching_area)
-    sensing = generate_sensing_matrix(
-        ks[1], sim.beam_method, mt, mr, cfg, rep.ad,
-        aod_range=(-searching_area / 2, searching_area / 2),
-        aoa_range=(-searching_area / 2, searching_area / 2),
-        batch=sim.n_trials)
-    meas = generate_measurement(ks[2], sensing.fw, ch.vec_h, sim.snr_db,
-                                sim.add_noise, w=sensing.w, mt=mt)
+
+    import contextlib
+    gen_ctx = (jax.default_device(jax.devices("cpu")[0])
+               if sim.impl == "pair" else contextlib.nullcontext())
+    with gen_ctx:
+        ch = generate_channel(ks[0], cfg, sim.channel, batch=sim.n_trials)
+        rep = sparse_formulation(cfg, ch, searching_area)
+        sensing = generate_sensing_matrix(
+            ks[1], sim.beam_method, mt, mr, cfg, rep.ad,
+            aod_range=(-searching_area / 2, searching_area / 2),
+            aoa_range=(-searching_area / 2, searching_area / 2),
+            batch=sim.n_trials)
+        meas = generate_measurement(ks[2], sensing.fw, ch.vec_h, sim.snr_db,
+                                    sim.add_noise, w=sensing.w, mt=mt)
     out = _recover_all(ks[3], sim, meas, sensing, rep, ch)
-    return _evaluate(out, rep, ch, sim)
+    with gen_ctx:
+        return _evaluate(out, rep, ch, sim)
 
 
 def sweep_measurements(key, m_grid: Sequence[int],

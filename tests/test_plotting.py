@@ -34,3 +34,22 @@ def test_all_plots_render(tmp_path, key):
                                        str(tmp_path / "bf.png"))
     for p in (p1, p2, p3, p4, p5):
         assert (tmp_path / p.split("/")[-1]).stat().st_size > 1000
+
+
+def test_beam_width_narrows_with_aperture(tmp_path):
+    """-3 dB beamwidth shrinks as the ULA grows (physics sanity)."""
+    import numpy as np
+    from twoace_tpu.utils.plotting import beam_width_deg, plot_beam_width
+
+    widths = []
+    for n in (8, 16, 32):
+        # broadside steering vector at 90 deg with half-wavelength spacing
+        w = np.exp(1j * 2 * np.pi * 0.5 * np.cos(np.deg2rad(90.0))
+                   * np.arange(n))
+        width, _, gdb = beam_width_deg(w, 0.5)
+        widths.append(width)
+        assert gdb.max() > 0
+    assert widths[0] > widths[1] > widths[2]
+    out = plot_beam_width(np.exp(1j * np.zeros(16)), 0.5,
+                          str(tmp_path / "bw.png"))
+    assert out > 0

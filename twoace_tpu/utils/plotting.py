@@ -132,3 +132,49 @@ def plot_beamforming_rss(rss_by_method: Dict[str, float], path: str):
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
+
+
+def beam_width_deg(weights, k_d: float, scan_deg=(60.0, 120.0),
+                   step_deg: float = 0.03, floor: float = 1e-3):
+    """Half-power (-3 dB) beamwidth of a ULA beamformer, in degrees.
+
+    Scans the array response |w^H a(theta)| over ``scan_deg`` on a
+    ``step_deg`` grid (ref: show_beam_width.m:57-76 scans pi/3..2pi/3 at
+    0.0005 rad) and returns ``(width_deg, thetas_deg, gain_db)``; the width
+    is the extent of the contiguous region around the peak within 3 dB of it.
+    """
+    weights = np.asarray(weights).reshape(-1)
+    n = weights.shape[0]
+    thetas = np.arange(scan_deg[0], scan_deg[1] + step_deg / 2, step_deg)
+    phase = np.cos(np.deg2rad(thetas))[:, None] * np.arange(n)[None, :]
+    a = np.exp(1j * 2 * np.pi * k_d * phase)
+    gain = np.abs(a @ weights.conj())
+    gain = np.maximum(gain, floor)
+    gain_db = 10 * np.log10(gain)
+    peak = int(np.argmax(gain_db))
+    thr = gain_db[peak] - 3.0
+    lo = peak
+    while lo > 0 and gain_db[lo - 1] >= thr:
+        lo -= 1
+    hi = peak
+    while hi < len(thetas) - 1 and gain_db[hi + 1] >= thr:
+        hi += 1
+    return (thetas[hi] - thetas[lo]), thetas, gain_db
+
+
+def plot_beam_width(weights, k_d: float, path: str):
+    """Gain pattern with peak and -3 dB reference lines
+    (ref: show_beam_width.m:77-81)."""
+    width, thetas, gain_db = beam_width_deg(weights, k_d)
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(thetas, gain_db, "r", label=f"pattern (-3dB width {width:.1f}°)")
+    ax.axhline(gain_db.max(), color="C0", lw=0.8)
+    ax.axhline(gain_db.max() - 3.0, color="C1", lw=0.8)
+    ax.set_xlabel("angle (deg)")
+    ax.set_ylabel("gain (dB)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return width

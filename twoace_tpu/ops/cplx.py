@@ -209,7 +209,7 @@ def eigh_update_perturbative(g, v0, ns_steps: int = 3,
     return w, v
 
 
-def eigh_update_perturbative_pair(g: Pair, v0: Pair, ns_steps: int = 2,
+def eigh_update_perturbative_pair(g: Pair, v0: Pair, ns_steps: int = 1,
                                   rel_gap: float = 1e-3,
                                   max_norm: float = 0.7):
     """Complex-pair warm eigenbasis refinement (no real embedding).
@@ -254,27 +254,33 @@ def ladder_scales(w, ladder):
     the UNSORTED spectrum ``w`` (..., k) and returned in the same order.
 
     The ladder semantics (ref: inferLowRankV4_multi.m:437-480) are defined on
-    the descending spectrum; sorting happens on the (cheap) eigenvalue
-    vector only, and the resulting scales are scattered back so the
-    eigenvector matrix never needs reordering.
+    the descending spectrum.  Instead of sorting, each eigenvalue's rank is
+    computed by pairwise comparison (a k x k boolean reduce — pure
+    elementwise VPU work, no gathers), and "head of the spectrum" becomes a
+    rank mask.  The scale multipliers compose across ladder levels exactly
+    as in the sorted formulation; the eigenvector matrix is never reordered.
     """
-    order = jnp.argsort(-w, axis=-1)
-    w_s = jnp.take_along_axis(w, order, axis=-1)
-    scale = jnp.ones_like(w_s)
-    v_tot = jnp.sum(w_s, axis=-1)
-    idx = jnp.arange(w_s.shape[-1])
+    k = w.shape[-1]
+    # rank_i = #{j : w_j > w_i} with index tie-break for exact duplicates
+    gt = w[..., None, :] > w[..., :, None]
+    eq = w[..., None, :] == w[..., :, None]
+    idx = jnp.arange(k)
+    tie = jnp.logical_and(eq, idx[None, :] < idx[:, None])
+    rank = jnp.sum(jnp.logical_or(gt, tie), axis=-1)          # (..., k)
+    scale = jnp.ones_like(w)
+    v_tot = jnp.sum(w, axis=-1)
     for rk, f in ladder:
-        vr = jnp.sum(jnp.where(idx < rk, w_s, 0.0), axis=-1)
+        head = rank < rk
+        vr = jnp.sum(jnp.where(head, w, 0.0), axis=-1)
         need = vr < v_tot * f
         s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
                         * (1.0 / f - 1.0))
         s = jnp.where(need, s, 1.0)
-        mult = jnp.where(idx >= rk, s[..., None], 1.0)
-        w_s = w_s * mult
+        mult = jnp.where(head, 1.0, s[..., None])
+        w = w * mult
         scale = scale * mult
-        v_tot = jnp.sum(w_s, axis=-1)
-    inv = jnp.argsort(order, axis=-1)
-    return jnp.take_along_axis(scale, inv, axis=-1)
+        v_tot = jnp.sum(w, axis=-1)
+    return scale
 
 
 def panel_gram_basis_pair(e: Pair, sweeps: int = 8):

@@ -66,3 +66,60 @@ def test_sharded_matches_row_replicated():
     # identical math, different partitioning: tight agreement
     err = np.linalg.norm(x1 - x2) / np.linalg.norm(x1)
     assert err < 1e-6, err
+
+
+def test_sharded_pair_solver_recovers():
+    """Pair-form sharded solver (the complex-free TPU-pod path) recovers
+    channels on the same (batch x rows) mesh."""
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel import solve_lowrank_sharded_pair
+
+    key = jax.random.PRNGKey(3)
+    cfg = ArrayConfig(nt=4, nr=4)
+    mesh = make_mesh(batch=4, rows=2)
+    batch, m = 4, 64
+    a, b, ch = _problem(key, cfg, batch, m)
+    ap = Pair(jnp.real(a).astype(jnp.float32),
+              jnp.imag(a).astype(jnp.float32))
+    a_sh, b_sh = problem_sharding(mesh)
+    ap = Pair(jax.device_put(ap.re, a_sh), jax.device_put(ap.im, a_sh))
+    bf = jax.device_put(b.astype(jnp.float32), b_sh)
+    x = solve_lowrank_sharded_pair(mesh, ap, bf, cfg.nt, cfg.nr,
+                                   AdmmConfig(maxiter=300))
+    xc = jnp.asarray(np.asarray(x.re) + 1j * np.asarray(x.im))
+    nmse = np.asarray(nmse_h_projection(xc, ch.vec_h))
+    assert x.re.shape == (batch, cfg.n)
+    assert np.all(np.isfinite(nmse))
+    assert np.median(nmse) < 0.1, nmse
+
+
+def test_sharded_pair_matches_complex_sharded():
+    """Pair and complex sharded solvers agree on recovery quality."""
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel import solve_lowrank_sharded_pair
+
+    key = jax.random.PRNGKey(4)
+    cfg = ArrayConfig(nt=4, nr=4)
+    mesh = make_mesh(batch=2, rows=1)
+    batch, m = 2, 64
+    a, b, ch = _problem(key, cfg, batch, m)
+    a_sh, b_sh = problem_sharding(mesh)
+    x_c = solve_lowrank_sharded(mesh, jax.device_put(a, a_sh),
+                                jax.device_put(b, b_sh), cfg.nt, cfg.nr,
+                                AdmmConfig(maxiter=250))
+    ap = Pair(jnp.real(a).astype(jnp.float32),
+              jnp.imag(a).astype(jnp.float32))
+    ap = Pair(jax.device_put(ap.re, a_sh), jax.device_put(ap.im, a_sh))
+    x_p = solve_lowrank_sharded_pair(mesh, ap,
+                                     jax.device_put(b.astype(jnp.float32),
+                                                    b_sh),
+                                     cfg.nt, cfg.nr, AdmmConfig(maxiter=250))
+    xpc = jnp.asarray(np.asarray(x_p.re) + 1j * np.asarray(x_p.im))
+    n_c = np.asarray(nmse_h_projection(x_c, ch.vec_h))
+    n_p = np.asarray(nmse_h_projection(xpc, ch.vec_h))
+    # same algorithm, different arithmetic path: NMSEs in the same class
+    assert np.all(np.isfinite(n_p))
+    for u in range(batch):
+        db_c = 10 * np.log10(max(n_c[u], 1e-12))
+        db_p = 10 * np.log10(max(n_p[u], 1e-12))
+        assert db_p < max(db_c + 3.0, -20.0), (db_c, db_p)

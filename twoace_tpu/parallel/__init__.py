@@ -6,6 +6,7 @@ from .mesh import (  # noqa: F401
     problem_sharding,
 )
 from .sharded_admm import solve_lowrank_sharded  # noqa: F401
+from .sharded_pair import solve_lowrank_sharded_pair  # noqa: F401
 from .distributed import (  # noqa: F401
     ScalingPoint,
     initialize_multihost,

@@ -1,0 +1,299 @@
+"""Row-sharded + batch-sharded 2ACE ADMM in pair representation.
+
+The pair twin of :mod:`.sharded_admm`: same (batch x rows) mesh and the
+same one-``psum``-per-iteration communication pattern (SURVEY §2.8), but
+complex matrices are carried as (re, im) float32 pairs in the transposed
+r-leading layout of :mod:`..ops.pair_solver` — so the whole multi-chip
+solve runs on TPU runtimes without complex-dtype support and maps onto the
+real-valued MXU.
+
+Collectives (all riding ICI over the ``rows`` axis):
+  - normalization + spectral-init Gram: one psum each (setup)
+  - per ADMM iteration: one psum for the ``A^H (...)`` reduction and one
+    fused psum for the scalar residual norms
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import AdmmConfig
+from ..ops.cplx import (
+    Pair,
+    add,
+    embed_hermitian,
+    ladder_scales,
+    eigh_update_perturbative_pair,
+    magnitude_prox_cols,
+    matmul,
+    panel_gram_basis_pair,
+    unembed,
+)
+from ..ops.eigh_jacobi import eigh_jacobi
+from ..ops.pair_solver import (
+    _panel_maps,
+    magnitude_prox_cols_elem,
+    project_cols_to_magnitude,
+)
+from ..ops.prox import profile_ladder
+from .mesh import BATCH_AXIS, ROWS_AXIS
+
+
+def _t(p: Pair) -> Pair:
+    return Pair(jnp.swapaxes(p.re, -1, -2), jnp.swapaxes(p.im, -1, -2))
+
+
+def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
+                    axis, m_global: int):
+    """One recovery with measurement rows sharded over ``axis``.
+
+    ``a_loc``: (m_loc, n) Pair; ``b_loc``: (m_loc,).  Replicated state (X,
+    Z, duals over n, U, the warm eigenbasis) is computed identically on
+    every shard; row-local state (Y, M-dual) stays sharded.
+    """
+    if axis is None:
+        def psum(v):
+            return v
+    else:
+        def psum(v):
+            return lax.psum(v, axis)
+
+    def psum_p(p: Pair) -> Pair:
+        return Pair(psum(p.re), psum(p.im))
+
+    m_loc, n = a_loc.shape
+    r = min(cfg.rank, m_global, n)
+
+    def gnorm2(p: Pair):
+        return psum(jnp.sum(p.re * p.re + p.im * p.im))
+
+    # ---- normalization (ref: inferLowRankV4_multi.m:27-38)
+    a_norm = jnp.sqrt(gnorm2(a_loc) / m_global)
+    a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
+    b_norm = jnp.sqrt(psum(jnp.sum(b_loc * b_loc)))
+    b_norm = jnp.where(b_norm < cfg.tol_abs, 1.0, b_norm)
+    a_loc = Pair(a_loc.re / a_norm, a_loc.im / a_norm)
+    b_loc = b_loc / b_norm
+
+    a_conj = Pair(a_loc.re, -a_loc.im)                    # (m_loc, n)
+    a_t = _t(a_loc)                                       # (n, m_loc)
+
+    # ---- U = inv(A^H A + I): local partial Gram, psum, replicated Cholesky
+    gram = psum_p(matmul(_t(Pair(a_loc.re, -a_loc.im)), a_loc))
+    gram = Pair(0.5 * (gram.re + gram.re.T)
+                + jnp.eye(n, dtype=jnp.float32),
+                0.5 * (gram.im - gram.im.T))
+    g_emb = embed_hermitian(gram)
+    chol = jnp.linalg.cholesky(g_emb)
+    eye2n = jnp.eye(2 * n, dtype=jnp.float32)
+    wtri = jax.scipy.linalg.solve_triangular(chol, eye2n, lower=True)
+    u_mat = unembed(wtri.T @ wtri, n)
+    u_conj = Pair(u_mat.re, -u_mat.im)
+
+    # ---- spectral init (ref :561-574): scaled Gram psum'd, replicated eigh
+    row_norm = jnp.sqrt(jnp.maximum(
+        jnp.sum(a_loc.re ** 2 + a_loc.im ** 2, axis=-1), 1e-30))
+    scal = jnp.where(row_norm > 1e-15, b_loc / row_norm, 1.0)
+    a_s = Pair(a_loc.re * scal[:, None], a_loc.im * scal[:, None])
+    g_s = psum_p(matmul(_t(Pair(a_s.re, -a_s.im)), a_s))
+    g_s = Pair(0.5 * (g_s.re + g_s.re.T), 0.5 * (g_s.im - g_s.im.T))
+    w_s, v_emb = eigh_jacobi(embed_hermitian(g_s))
+    w_r = jnp.sqrt(jnp.maximum(w_s[0::2][:r], 0.0))
+    vecs = v_emb[:, 0::2][:, :r]
+    xs = _t(Pair(vecs[:n] * w_r[None, :], vecs[n:] * w_r[None, :]))  # (r, n)
+
+    ladder = profile_ladder(nt, nr, m_global, n, False,
+                            cfg.profile.rank_mults, cfg.profile.fractions,
+                            mode=cfg.profile.ladder)
+
+    def z_prox(z: Pair, v0):
+        """Replicated spectral-profile prox with warm perturbative basis."""
+        rr = z.shape[-2]
+        to_panel, from_panel = _panel_maps(nt, nr, rr)
+        e = Pair(to_panel(z.re), to_panel(z.im))
+        if v0 is None:
+            w, v = panel_gram_basis_pair(e)
+        else:
+            g = matmul(e, Pair(jnp.swapaxes(e.re, -1, -2),
+                               -jnp.swapaxes(e.im, -1, -2)))
+            g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
+            w, v = eigh_update_perturbative_pair(g, v0)
+        scale = ladder_scales(jnp.maximum(w, 0.0), ladder)
+        coeff = jnp.sqrt(scale) - 1.0
+        vc = Pair(v.re * coeff[None, :], v.im * coeff[None, :])
+        delta = matmul(vc, Pair(v.re.T, -v.im.T))
+        e_new = add(e, matmul(delta, e))
+        return Pair(from_panel(e_new.re), from_panel(e_new.im)), v
+
+    def admm(x0: Pair, scale_by_row: bool):
+        """Row-sharded InferADMM in transposed pair layout (ref :281-386)."""
+        rr = x0.shape[-2]
+        ax = matmul(x0, a_t)                              # (rr, m_loc)
+        if scale_by_row:
+            s = jnp.sqrt(psum(jnp.sum(b_loc ** 2))
+                         / jnp.maximum(gnorm2(ax), 1e-30))
+            x = Pair(x0.re * s, x0.im * s)
+        else:
+            col = jnp.sqrt(psum(jnp.sum(ax.re ** 2 + ax.im ** 2, axis=-1)))
+            s = jnp.sqrt(psum(jnp.sum(b_loc ** 2))) / jnp.maximum(col, 1e-30)
+            x = Pair(x0.re * s[:, None], x0.im * s[:, None])
+        ax = matmul(x, a_t)
+        y = project_cols_to_magnitude(ax, b_loc, scale_by_row)
+        aty = psum_p(matmul(y, a_conj))
+        z, v_basis = z_prox(x, None)
+        zeros_m = Pair(jnp.zeros((rr, m_loc), jnp.float32),
+                       jnp.zeros((rr, m_loc), jnp.float32))
+        zeros_n = Pair(jnp.zeros((rr, n), jnp.float32),
+                       jnp.zeros((rr, n), jnp.float32))
+        if scale_by_row:
+            opt_x = zeros_n
+            opt_y = zeros_m
+        else:
+            opt_x = Pair(jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32))
+            opt_y = Pair(jnp.zeros((m_loc,), jnp.float32),
+                         jnp.zeros((m_loc,), jnp.float32))
+
+        init = dict(y=y, z=z, m_dual=zeros_m, n_dual=zeros_n, aty=aty,
+                    v_basis=v_basis, mu=jnp.asarray(cfg.mu0, jnp.float32),
+                    last_res=jnp.asarray(jnp.inf, jnp.float32),
+                    opt_obj=jnp.asarray(jnp.inf, jnp.float32),
+                    opt_x=opt_x, opt_y=opt_y,
+                    it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False))
+
+        def cond(c):
+            return jnp.logical_and(c["it"] < cfg.maxiter,
+                                   jnp.logical_not(c["done"]))
+
+        def body(c):
+            y0, z0, aty0 = c["y"], c["z"], c["aty"]
+            mu = c["mu"]
+            inv_mu = 1.0 / mu
+            # X-update: local partial A^H(...) + psum (the ICI collective)
+            t = Pair(y0.re - c["m_dual"].re * inv_mu,
+                     y0.im - c["m_dual"].im * inv_mu)
+            rhs = add(psum_p(matmul(t, a_conj)),
+                      Pair(z0.re - c["n_dual"].re * inv_mu,
+                           z0.im - c["n_dual"].im * inv_mu))
+            x = matmul(rhs, u_conj)                       # replicated
+            ax = matmul(x, a_t)                           # row-local
+            if scale_by_row:
+                # per-measurement row norm reduces over the REPLICATED r
+                # axis -> no collective needed
+                y = magnitude_prox_cols(ax, b_loc, c["m_dual"], mu)
+            else:
+                y = magnitude_prox_cols_elem(ax, b_loc, c["m_dual"], mu)
+            aty = psum_p(matmul(y, a_conj))
+            z_in = Pair(x.re + c["n_dual"].re * inv_mu,
+                        x.im + c["n_dual"].im * inv_mu)
+            z, v_basis = z_prox(z_in, c["v_basis"])
+            j_m = Pair(ax.re - y.re, ax.im - y.im)
+            m_dual = Pair(c["m_dual"].re + mu * j_m.re,
+                          c["m_dual"].im + mu * j_m.im)
+            j_n = Pair(x.re - z.re, x.im - z.im)
+            n_dual = Pair(c["n_dual"].re + mu * j_n.re,
+                          c["n_dual"].im + mu * j_n.im)
+
+            if scale_by_row:
+                amp2 = jnp.sum(ax.re ** 2 + ax.im ** 2, axis=-2)
+                obj = jnp.sqrt(psum(jnp.sum(
+                    (jnp.sqrt(jnp.maximum(amp2, 0.0)) - b_loc) ** 2)))
+                better = obj < c["opt_obj"]
+                opt_x = Pair(jnp.where(better, x.re, c["opt_x"].re),
+                             jnp.where(better, x.im, c["opt_x"].im))
+                opt_y = Pair(jnp.where(better, y.re, c["opt_y"].re),
+                             jnp.where(better, y.im, c["opt_y"].im))
+                opt_obj = jnp.minimum(obj, c["opt_obj"])
+            else:
+                amp = jnp.sqrt(jnp.maximum(ax.re ** 2 + ax.im ** 2, 0.0))
+                objs = jnp.sqrt(psum(jnp.sum(
+                    (amp - b_loc[None, :]) ** 2, axis=-1)))
+                j = jnp.argmin(objs)
+                obj = objs[j]
+                better = obj < c["opt_obj"]
+                opt_x = Pair(jnp.where(better, x.re[j], c["opt_x"].re),
+                             jnp.where(better, x.im[j], c["opt_x"].im))
+                opt_y = Pair(jnp.where(better, y.re[j], c["opt_y"].re),
+                             jnp.where(better, y.im[j], c["opt_y"].im))
+                opt_obj = jnp.minimum(obj, c["opt_obj"])
+
+            # residuals (ref :363-375); row-dim norms psum'd, n-dim local
+            def loc2(p: Pair):
+                return jnp.sum(p.re ** 2 + p.im ** 2)
+
+            nax2, ny2 = gnorm2(ax), gnorm2(y)
+            nx2, nz2 = loc2(x), loc2(z)
+            naty2 = loc2(aty)
+            res_prim = jnp.sqrt(gnorm2(j_m) + loc2(j_n))
+            res_dual = mu * jnp.sqrt(
+                loc2(Pair(aty.re - aty0.re, aty.im - aty0.im))
+                + loc2(Pair(z.re - z0.re, z.im - z0.im)))
+            res_comb = jnp.sqrt(
+                res_prim ** 2 + gnorm2(Pair(y.re - y0.re, y.im - y0.im))
+                + loc2(Pair(z.re - z0.re, z.im - z0.im)))
+            t_prim = (cfg.tol_abs * math.sqrt((m_global + n) * rr)
+                      + cfg.tol_rel * jnp.sqrt(jnp.maximum(nax2, ny2)
+                                               + jnp.maximum(nx2, nz2)))
+            t_dual = (cfg.tol_abs * math.sqrt(n * rr * 2)
+                      + cfg.tol_rel * jnp.sqrt(naty2 + nz2))
+            t_comb = (cfg.tol_abs * math.sqrt((m_global + n) * rr * 2)
+                      + cfg.tol_rel * jnp.sqrt(jnp.maximum(nax2, ny2)
+                                               + jnp.maximum(nx2, nz2)
+                                               + ny2 + nz2))
+            done = jnp.logical_or(
+                jnp.logical_and(res_prim < t_prim, res_dual < t_dual),
+                res_comb < t_comb)
+            mu = jnp.where(res_comb > c["last_res"] * 0.9, mu * cfg.rho, mu)
+            return dict(y=y, z=z, m_dual=m_dual, n_dual=n_dual, aty=aty,
+                        v_basis=v_basis, mu=mu, last_res=res_comb,
+                        opt_obj=opt_obj, opt_x=opt_x, opt_y=opt_y,
+                        it=c["it"] + 1, done=done)
+
+        out = lax.while_loop(cond, body, init)
+        return out["opt_x"], out["opt_y"]
+
+    # ---- inferLowRankImpl scaffold (ref :111-271), no CV restarts
+    x, _ = admm(xs, scale_by_row=True)
+    # orthonormalize columns: replicated r x r Gram eigendecomposition
+    g = matmul(Pair(x.re, -x.im), _t(x))
+    g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
+    _, v_emb = eigh_jacobi(embed_hermitian(g))
+    vecs = v_emb[:, 0::2]
+    v_c = Pair(vecs[:x.shape[0]], vecs[x.shape[0]:])
+    x = matmul(_t(v_c), x)
+    x, _ = admm(x, scale_by_row=False)
+    # full-data polish (ref :89-101 refinement, without rollback)
+    x, _ = admm(Pair(x.re[None, :], x.im[None, :]), scale_by_row=True)
+    s = b_norm / a_norm
+    return Pair(x.re[0] * s, x.im[0] * s)
+
+
+@partial(jax.jit, static_argnames=("mesh", "nt", "nr", "cfg"))
+def solve_lowrank_sharded_pair(mesh: Mesh, a: Pair, b, nt: int, nr: int,
+                               cfg: AdmmConfig = AdmmConfig()) -> Pair:
+    """Batch of pair-form recoveries over a (batch x rows) mesh.
+
+    ``a``: (B, m, n) Pair; ``b``: (B, m) float32.  Returns (B, n) Pair,
+    replicated over rows and sharded over batch.  The on-TPU twin of
+    :func:`.sharded_admm.solve_lowrank_sharded`.
+    """
+    m_global = a.shape[1]
+
+    def local_fn(a_l, b_l):
+        solve = partial(_solve_one_pair, nt=nt, nr=nr, cfg=cfg,
+                        axis=ROWS_AXIS, m_global=m_global)
+        return jax.vmap(solve)(a_l, b_l)
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS, ROWS_AXIS, None),
+                             P(BATCH_AXIS, ROWS_AXIS)),
+                   out_specs=P(BATCH_AXIS, None),
+                   check_vma=False)
+    return fn(a, b)

@@ -182,7 +182,7 @@ def test_batched_shared_codebook_solver():
     from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
 
     nt = nr = 8
-    n, m, batch = 64, 256, 3
+    n, m, batch = 64, 256, 2
     rng = np.random.default_rng(11)
     bits = rng.integers(0, 4, (m, n))
     a = (np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)).astype(np.complex64)
@@ -197,9 +197,33 @@ def test_batched_shared_codebook_solver():
     b_batch = jnp.asarray(np.stack(bs), jnp.float32)
     res = solve_lowrank_multi_pair_batch(jax.random.PRNGKey(0), _pair(a),
                                          b_batch, nt, nr,
-                                         AdmmConfig(maxiter=200))
+                                         AdmmConfig(maxiter=150))
     assert res.x.re.shape == (batch, n)
     for u in range(batch):
         x_est = np.asarray(res.x.re[u]) + 1j * np.asarray(res.x.im[u])
         assert _nmse_db(x_est, xs[u]) < -35, u
         assert float(res.quality[u]) > 0.98
+
+
+def test_phaselift_bm_pair_matches_complex():
+    """Pair-form Burer-Monteiro PhaseLift recovers like the complex one."""
+    from twoace_tpu.config import PhaseLiftConfig
+    from twoace_tpu.ops.phaselift import phaselift_bm, phaselift_bm_pair
+
+    n, m = 16, 200
+    rng = np.random.default_rng(2)
+    a = ((rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+         / np.sqrt(2)).astype(np.complex64)
+    x_true = ((rng.normal(size=n) + 1j * rng.normal(size=n))
+              / np.sqrt(2)).astype(np.complex64)
+    b = (np.abs(a @ x_true) ** 2).astype(np.float32)
+    cfg = PhaseLiftConfig(max_iters=2000, lam=1e-4, bm_rank=4)
+    key = jax.random.PRNGKey(0)
+
+    res_c = phaselift_bm(key, jnp.asarray(a), jnp.asarray(b), cfg)
+    res_p = phaselift_bm_pair(key, _pair(a), jnp.asarray(b), cfg)
+    x_p = np.asarray(res_p.x_re) + 1j * np.asarray(res_p.x_im)
+    db_c = _nmse_db(np.asarray(res_c.x), x_true)
+    db_p = _nmse_db(x_p, x_true)
+    assert db_c < -15
+    assert db_p < -15

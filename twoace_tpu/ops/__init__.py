@@ -7,6 +7,13 @@ from .prox import (  # noqa: F401
     project_rows_to_magnitude,
     spectral_profile_prox,
 )
+from .phaselift import (  # noqa: F401
+    PairPhaseLiftResult,
+    PhaseLiftResult,
+    phaselift_bm,
+    phaselift_bm_pair,
+    phaselift_fista,
+)
 from .pair_solver import (  # noqa: F401
     PairAdmmResult,
     infer_admm_pair,

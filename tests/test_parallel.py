@@ -123,3 +123,24 @@ def test_sharded_pair_matches_complex_sharded():
         db_c = 10 * np.log10(max(n_c[u], 1e-12))
         db_p = 10 * np.log10(max(n_p[u], 1e-12))
         assert db_p < max(db_c + 3.0, -20.0), (db_c, db_p)
+
+
+def test_sharded_pair_nuclear_runs():
+    """Nuclear prox variant of the pair sharded solver stays finite."""
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel import solve_lowrank_sharded_pair
+
+    key = jax.random.PRNGKey(5)
+    cfg = ArrayConfig(nt=4, nr=4)
+    mesh = make_mesh(batch=4, rows=2)
+    batch, m = 4, 64
+    a, b, ch = _problem(key, cfg, batch, m)
+    a_sh, b_sh = problem_sharding(mesh)
+    ap = Pair(jax.device_put(jnp.real(a).astype(jnp.float32), a_sh),
+              jax.device_put(jnp.imag(a).astype(jnp.float32), a_sh))
+    bf = jax.device_put(b.astype(jnp.float32), b_sh)
+    x = solve_lowrank_sharded_pair(mesh, ap, bf, cfg.nt, cfg.nr,
+                                   AdmmConfig(maxiter=150),
+                                   prox_kind="nuclear")
+    assert np.isfinite(np.asarray(x.re)).all()
+    assert np.isfinite(np.asarray(x.im)).all()

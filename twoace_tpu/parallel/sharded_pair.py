@@ -51,7 +51,7 @@ def _t(p: Pair) -> Pair:
 
 
 def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
-                    axis, m_global: int):
+                    axis, m_global: int, prox_kind: str = "spectral_profile"):
     """One recovery with measurement rows sharded over ``axis``.
 
     ``a_loc``: (m_loc, n) Pair; ``b_loc``: (m_loc,).  Replicated state (X,
@@ -113,7 +113,7 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
                             cfg.profile.rank_mults, cfg.profile.fractions,
                             mode=cfg.profile.ladder)
 
-    def z_prox(z: Pair, v0):
+    def _spectral_prox(z: Pair, v0):
         """Replicated spectral-profile prox with warm perturbative basis."""
         rr = z.shape[-2]
         to_panel, from_panel = _panel_maps(nt, nr, rr)
@@ -132,6 +132,18 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
         e_new = add(e, matmul(delta, e))
         return Pair(from_panel(e_new.re), from_panel(e_new.im)), v
 
+    if prox_kind == "nuclear":
+        from ..ops.pair_solver import _nuclear_prox_t
+
+        def z_prox(z: Pair, mu, v0):
+            del v0
+            return _nuclear_prox_t(z, 1.0 / mu), jnp.eye(2 * nr,
+                                                         dtype=jnp.float32)
+    else:
+        def z_prox(z: Pair, mu, v0):
+            del mu
+            return _spectral_prox(z, v0)
+
     def admm(x0: Pair, scale_by_row: bool):
         """Row-sharded InferADMM in transposed pair layout (ref :281-386)."""
         rr = x0.shape[-2]
@@ -147,7 +159,7 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
         ax = matmul(x, a_t)
         y = project_cols_to_magnitude(ax, b_loc, scale_by_row)
         aty = psum_p(matmul(y, a_conj))
-        z, v_basis = z_prox(x, None)
+        z, v_basis = z_prox(x, jnp.asarray(cfg.mu0, jnp.float32), None)
         zeros_m = Pair(jnp.zeros((rr, m_loc), jnp.float32),
                        jnp.zeros((rr, m_loc), jnp.float32))
         zeros_n = Pair(jnp.zeros((rr, n), jnp.float32),
@@ -193,7 +205,7 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
             aty = psum_p(matmul(y, a_conj))
             z_in = Pair(x.re + c["n_dual"].re * inv_mu,
                         x.im + c["n_dual"].im * inv_mu)
-            z, v_basis = z_prox(z_in, c["v_basis"])
+            z, v_basis = z_prox(z_in, mu, c["v_basis"])
             j_m = Pair(ax.re - y.re, ax.im - y.im)
             m_dual = Pair(c["m_dual"].re + mu * j_m.re,
                           c["m_dual"].im + mu * j_m.im)
@@ -275,9 +287,10 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
     return Pair(x.re[0] * s, x.im[0] * s)
 
 
-@partial(jax.jit, static_argnames=("mesh", "nt", "nr", "cfg"))
+@partial(jax.jit, static_argnames=("mesh", "nt", "nr", "cfg", "prox_kind"))
 def solve_lowrank_sharded_pair(mesh: Mesh, a: Pair, b, nt: int, nr: int,
-                               cfg: AdmmConfig = AdmmConfig()) -> Pair:
+                               cfg: AdmmConfig = AdmmConfig(),
+                               prox_kind: str = "spectral_profile") -> Pair:
     """Batch of pair-form recoveries over a (batch x rows) mesh.
 
     ``a``: (B, m, n) Pair; ``b``: (B, m) float32.  Returns (B, n) Pair,
@@ -288,7 +301,8 @@ def solve_lowrank_sharded_pair(mesh: Mesh, a: Pair, b, nt: int, nr: int,
 
     def local_fn(a_l, b_l):
         solve = partial(_solve_one_pair, nt=nt, nr=nr, cfg=cfg,
-                        axis=ROWS_AXIS, m_global=m_global)
+                        axis=ROWS_AXIS, m_global=m_global,
+                        prox_kind=prox_kind)
         return jax.vmap(solve)(a_l, b_l)
 
     fn = shard_map(local_fn, mesh=mesh,

@@ -81,6 +81,25 @@ def matmul(a: Pair, b: Pair) -> Pair:
     return Pair(k1 - k2, k1 + k3)
 
 
+def matmul_lowp(a: Pair, b: Pair, dtype=jnp.bfloat16) -> Pair:
+    """Karatsuba pair matmul with both operands cast to ``dtype`` and fp32
+    accumulation — on TPU a single-pass bf16 MXU matmul instead of the
+    3-pass emulation XLA uses for fp32 inputs.  Costs ~3 decimal digits of
+    operand precision; see ``admm_iteration_pair_t(matmul_dtype=...)`` for
+    where that is acceptable."""
+    f32 = jnp.float32
+
+    def dot(x, y):
+        return jax.lax.dot_general(x.astype(dtype), y.astype(dtype),
+                                   (((x.ndim - 1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    k1 = dot(a.re, b.re + b.im)
+    k2 = dot(a.re + a.im, b.im)
+    k3 = dot(a.im - a.re, b.re)
+    return Pair(k1 - k2, k1 + k3)
+
+
 def matmul_herm_t(a: Pair, b: Pair) -> Pair:
     """A^H @ B: (Ar^T - i Ai^T)(Br + i Bi)."""
     at = Pair(jnp.swapaxes(a.re, -1, -2), -jnp.swapaxes(a.im, -1, -2))
@@ -393,7 +412,8 @@ def panel_gram_basis(z_t: Pair, nt: int, nr: int, sweeps: int = 8):
 
 def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                           ladder: Sequence[Tuple[int, float]],
-                          sweeps: int = 1, eig_mode: str = "jacobi"):
+                          sweeps: int = 1, eig_mode: str = "jacobi",
+                          matmul_dtype=None):
     """Transposed-layout fused 2ACE ADMM iteration (the fast TPU path).
 
     Identical math to :func:`admm_iteration_pair` with ``warm_basis=True``,
@@ -423,15 +443,20 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                jnp.swapaxes(a.im, -1, -2))                    # (n, m)
     u_conj = Pair(u_mat.re, -u_mat.im)                        # U^T = conj(U)
     r_of = lambda p: p.shape[-2]
+    if matmul_dtype is None:
+        mm = matmul
+    else:
+        def mm(x, y):
+            return matmul_lowp(x, y, matmul_dtype)
 
     def step(state):
         y, z, m_dual, n_dual, mu, v_basis = state
         inv_mu = 1.0 / mu
         t = Pair(y.re - m_dual.re * inv_mu, y.im - m_dual.im * inv_mu)
-        rhs = add(matmul(t, a_conj), Pair(z.re - n_dual.re * inv_mu,
-                                          z.im - n_dual.im * inv_mu))
-        x = matmul(rhs, u_conj)                               # (r, n)
-        ax = matmul(x, a_t)                                   # (r, m)
+        rhs = add(mm(t, a_conj), Pair(z.re - n_dual.re * inv_mu,
+                                      z.im - n_dual.im * inv_mu))
+        x = mm(rhs, u_conj)                                   # (r, n)
+        ax = mm(x, a_t)                                       # (r, m)
         y_new = magnitude_prox_cols(ax, b, m_dual, mu)
         z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
         # (r, nt*nr) -> panel (nr, r*nt): k = it*nr + ir

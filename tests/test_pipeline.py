@@ -261,3 +261,39 @@ def test_evaluation_codebook_rss(key):
     assert rss.shape == (9,) and txb.shape == (9, CFG.nt)
     # the SVD beam of the true channel should beat the random probe sectors
     assert rss[0] > np.mean(rss[-5:])
+
+
+def test_warm_sweep_coarse_to_fine():
+    """Warm-started M-sweep: later (finer) budgets reuse earlier solutions
+    and must reach strong recovery at the full budget."""
+    import numpy as np
+    from twoace_tpu.config import AdmmConfig, ArrayConfig
+    from twoace_tpu.pipeline.recovery import CampaignConfig, recover_warm_sweep
+    from twoace_tpu.utils.units import amplitude_to_dbm
+
+    cfg = ArrayConfig(nt=4, nr=4)
+    n = cfg.n
+    rng = np.random.default_rng(0)
+    total = 4 * n
+    bits = rng.integers(0, 4, (total, n))
+    cb = np.exp(1j * bits * np.pi / 2) / np.sqrt(n)
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    h = sum((rng.normal() + 1j * rng.normal())
+            * np.outer(steer(4, a1), steer(4, a2).conj())
+            for a1, a2 in [(0.3, -0.5), (0.9, 0.2)])
+    x_true = h.T.reshape(-1)
+    rss_fct = 1e5 / 3
+    dbm = np.asarray(amplitude_to_dbm(jnp.asarray(np.abs(cb @ x_true)),
+                                      rss_fct))
+    cc = CampaignConfig(array=cfg, rss_fct=rss_fct,
+                        admm=AdmmConfig(maxiter=120))
+    out, quals = recover_warm_sweep(cb, dbm, cc=cc, m_grid=(24, 48, 64))
+    x = out.h_amp[-1, 0] * np.exp(1j * out.h_angle[-1, 0])
+    c = np.vdot(x, x_true) / max(np.vdot(x, x).real, 1e-30)
+    nmse = (np.linalg.norm(x_true - c * x) ** 2
+            / np.linalg.norm(x_true) ** 2)
+    assert 10 * np.log10(max(nmse, 1e-30)) < -25
+    assert quals[-1] > 0.95

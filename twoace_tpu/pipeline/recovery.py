@@ -177,3 +177,84 @@ def recover_directional(cb_rows, rss_dbm, seed_id: int = 1,
             searching_area_deg=180.0)
     return recover_campaign(cb_rows, rss_dbm, MethodFlags(
         admm_lowrank_v4=False, plomp=True, plgamp=True), cc, seed_id)
+
+
+def recover_warm_sweep(cb_rows, rss_dbm, seed_id: int = 1,
+                       cc: CampaignConfig = CampaignConfig(),
+                       m_grid: Optional[Tuple[int, ...]] = None,
+                       quality_gate: float = 0.6):
+    """Warm-started coarse->fine probe-budget sweep (A2 only).
+
+    The TPU-native realization of SURVEY §7 stage 4: the multi-resolution /
+    M-grid sweep is a *pipeline over time* — each budget's solution seeds
+    the next, so only the first (coarsest) cell pays for the full
+    3-restart inferLowRankV4_multi scaffold.  Subsequent cells run a single
+    refinement-phase ADMM from the previous estimate (exactly the
+    reference's full-data refinement step, ref: inferLowRankV4_multi.m:89-101)
+    and fall back to the full solve when the held-out quality drops below
+    ``quality_gate`` (same gate as the reference's rank-1 retry, ref :73).
+
+    Returns ``(RecoveryOutput, qualities)``.
+    """
+    from ..ops.admm import (
+        _make_prox,
+        _normalize_problem,
+        _quality,
+        infer_admm,
+        solve_lowrank_multi,
+    )
+
+    cfg = cc.array
+    n = cfg.n
+    cb_rows = jnp.asarray(cb_rows)
+    rss_dbm = jnp.asarray(rss_dbm).reshape(-1)
+    total = cb_rows.shape[0]
+    if m_grid is None:
+        m_grid = probe_budget_grid(cfg.nt, cfg.nr)
+    key = jax.random.PRNGKey(SEED_TABLE[(seed_id - 1) % len(SEED_TABLE)])
+    amps = dbm_to_amplitude(rss_dbm, cc.rss_fct)
+
+    h_amp = np.zeros((len(m_grid), 1, n))
+    h_angle = np.zeros_like(h_amp)
+    qualities = []
+    x_prev = None
+
+    for i, m_cur in enumerate(m_grid):
+        m_cur = min(m_cur, total)
+        k_i = jax.random.fold_in(key, i)
+        m_idx = _pick_m_indices(k_i, m_cur, total, cc)
+        a = cb_rows[m_idx]
+        b = jnp.real(amps[m_idx])
+
+        if x_prev is None:
+            res = solve_lowrank_multi(jax.random.fold_in(k_i, 2), a, b,
+                                      cfg.nt, cfg.nr, cc.admm)
+            x, q = res.x, float(res.quality)
+        else:
+            # refinement-only warm solve on the normalized problem
+            a_n, b_n, a_norm, b_norm = _normalize_problem(a, b,
+                                                          cc.admm.tol_abs)
+            x0 = (x_prev * (a_norm / b_norm).astype(a.dtype))[:, None]
+            prox = _make_prox("spectral_profile", cfg.nt, cfg.nr,
+                              a.shape[0], n, False, cc.admm, "jacobi")
+            xr, _, _ = infer_admm(a_n, b_n, x0, scale_by_row=True, prox=prox,
+                                  mu0=cc.admm.mu0, rho=cc.admm.rho,
+                                  tol_rel=cc.admm.tol_rel,
+                                  tol_abs=cc.admm.tol_abs,
+                                  maxiter=cc.admm.maxiter)
+            x = xr[:, 0] * (b_norm / a_norm).astype(a.dtype)
+            q = float(_quality(a, b, x[:, None]))
+            if not np.isfinite(q) or q < quality_gate:
+                res = solve_lowrank_multi(jax.random.fold_in(k_i, 2), a, b,
+                                          cfg.nt, cfg.nr, cc.admm)
+                x, q = res.x, float(res.quality)
+        x_prev = x
+        qualities.append(q)
+        h = np.nan_to_num(np.asarray(x) / cc.rss_fct)
+        h_amp[i, 0] = np.abs(h)
+        h_angle[i, 0] = np.angle(h)
+
+    return (RecoveryOutput(h_amp=h_amp, h_angle=h_angle,
+                           m_grid=tuple(m_grid),
+                           methods=("admm_lowrank_v4_warm",)),
+            qualities)

@@ -14,7 +14,7 @@ from twoace_tpu.ops.cpr_baselines import (
     sparse_phaselift,
 )
 from twoace_tpu.ops.dispatch import admm_v2, recover_channel, recover_sparse
-from twoace_tpu.ops.gamp import embgamp, prgamp
+from twoace_tpu.ops.gamp import embgamp, prgamp, vamp_cs
 from twoace_tpu.ops.omp import omp
 from twoace_tpu.ops.phaselift import phaselift_bm, phaselift_fista
 from twoace_tpu.ops.twostage import static_mcs, two_stage_recovery
@@ -79,6 +79,37 @@ def test_embgamp_sparse_awgn():
                             lam0=s / n))
     err = np.linalg.norm(xr - x) / np.linalg.norm(x)
     assert err < 0.1, err
+
+
+def test_vamp_sparse_awgn():
+    rng = np.random.default_rng(5)
+    m, n, s = 60, 200, 4
+    a = _rand_c(rng, m, n) / np.sqrt(m)
+    x = np.zeros(n, complex)
+    sup = rng.choice(n, s, replace=False)
+    x[sup] = _rand_c(rng, s)
+    y = a @ x + 1e-3 * _rand_c(rng, m)
+    xr = np.asarray(vamp_cs(jnp.asarray(y), jnp.asarray(a), snr_db=40.0,
+                            lam0=s / n))
+    err = np.linalg.norm(xr - x) / np.linalg.norm(x)
+    assert err < 0.1, err
+
+
+def test_vamp_ill_conditioned_rows():
+    # correlated rows (directional-codebook-like); VAMP's exact LMMSE stage
+    # handles the non-iid A where plain GAMP diverges
+    rng = np.random.default_rng(7)
+    m, n, s = 80, 120, 3
+    base = _rand_c(rng, m // 4, n)
+    a = (np.repeat(base, 4, axis=0)
+         + 0.1 * _rand_c(rng, m, n)) / np.sqrt(m)
+    x = np.zeros(n, complex)
+    x[rng.choice(n, s, replace=False)] = _rand_c(rng, s)
+    y = a @ x + 1e-4 * _rand_c(rng, m)
+    xr = np.asarray(vamp_cs(jnp.asarray(y), jnp.asarray(a), snr_db=50.0,
+                            lam0=s / n, iters=100))
+    err = np.linalg.norm(xr - x) / np.linalg.norm(x)
+    assert err < 0.15, err
 
 
 def test_prgamp_runs_and_fits_magnitudes(key):

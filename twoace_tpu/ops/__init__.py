@@ -21,4 +21,5 @@ from .pair_solver import (  # noqa: F401
     solve_lowrank_multi_pair_batch,
     spectral_initialize_pair,
 )
+from .gamp import embgamp, gamp, prgamp, vamp, vamp_cs  # noqa: F401
 from .spectral_init import spectral_initialize  # noqa: F401

@@ -147,6 +147,89 @@ def embgamp(y, a, snr_db: float, lam0: float, learn_lambda: bool = True,
     return res.x
 
 
+class VampResult(NamedTuple):
+    x: jax.Array
+    precision: jax.Array   #: final denoiser-input precision gamma1
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def vamp(a, y, *, lam0: float, phi0: float, gamma_w, iters: int = 50,
+         damping: float = 0.8) -> VampResult:
+    """Vector AMP for ``y = A x + w`` with a Bernoulli-Gaussian prior.
+
+    Replaces the vendored VAMP of the reference's GAMP suite (ref:
+    {main,Numerical_Simulation}/3rd_software_component/GAMP/trunk/code/VAMP).
+    Clean-room implementation of Rangan-Schniter-Fletcher 2016: the LMMSE
+    stage is solved exactly through one precomputed SVD of A, so every
+    iteration is O(mn) matvecs — unlike GAMP, VAMP stays stable on the
+    ill-conditioned directional codebook matrices (§2.3 M3) where GAMP's
+    iid-Gaussian assumption breaks.
+
+    ``gamma_w``: noise precision 1/psi; ``phi0``: prior signal variance.
+    Fixed trip count + gamma damping for jit friendliness.
+    """
+    m, n = a.shape
+    u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+    k = s.shape[0]
+    d = (s * s).real                       # (k,) eigenvalues of A^H A
+    uty = jnp.conj(u.T) @ y                # (k,)
+    aty_v = s.astype(u.dtype) * uty        # V-coords of A^H y
+
+    def lmmse(r2, g2):
+        """argmin gw||y-Ax||^2 + g2||x-r2||^2 via the SVD; returns (x2, alpha2)."""
+        vr2 = vh @ r2                                          # (k,)
+        c = (gamma_w * aty_v + g2.astype(a.dtype) * vr2) \
+            / (gamma_w * d + g2).astype(a.dtype)
+        x2 = jnp.conj(vh.T) @ (c - vr2) + r2
+        # divergence: k spectral components + (n-k) identity passthrough
+        alpha2 = (jnp.sum(g2 / (gamma_w * d + g2)) + (n - k)) / n
+        return x2, alpha2
+
+    x0 = jnp.conj(a.T) @ y
+    state = dict(r1=x0, g1=jnp.asarray(1.0 / jnp.maximum(phi0, 1e-20),
+                                       jnp.float64 if d.dtype == jnp.float64
+                                       else jnp.float32))
+
+    def body(st, _):
+        r1, g1 = st["r1"], st["g1"]
+        # denoising stage
+        x1, tau_x, _, _, _ = _bg_denoiser(r1, 1.0 / g1, lam0, phi0)
+        alpha1 = jnp.clip(g1 * jnp.mean(tau_x), 1e-6, 1.0 - 1e-6)
+        eta1 = g1 / alpha1
+        g2 = jnp.maximum(eta1 - g1, 1e-12)
+        r2 = (eta1.astype(a.dtype) * x1 - g1.astype(a.dtype) * r1) \
+            / g2.astype(a.dtype)
+        # LMMSE stage
+        x2, alpha2 = lmmse(r2, g2)
+        alpha2 = jnp.clip(alpha2, 1e-6, 1.0 - 1e-6)
+        eta2 = g2 / alpha2
+        g1_new = jnp.maximum(eta2 - g2, 1e-12)
+        r1_new = (eta2.astype(a.dtype) * x2 - g2.astype(a.dtype) * r2) \
+            / g1_new.astype(a.dtype)
+        g1_d = damping * g1_new + (1 - damping) * g1
+        r1_d = damping * r1_new + (1 - damping) * r1
+        return dict(r1=r1_d, g1=g1_d), None
+
+    state, _ = lax.scan(body, state, None, length=iters)
+    x_final, _, _, _, _ = _bg_denoiser(state["r1"], 1.0 / state["g1"],
+                                       lam0, phi0)
+    return VampResult(x=x_final, precision=state["g1"])
+
+
+def vamp_cs(y, a, snr_db: float, lam0: float, iters: int = 50):
+    """VAMP conventional-CS entry, mirroring :func:`embgamp`'s interface
+    (same role as My_Conventional_CS.m:14-24, with the vendored suite's
+    VAMP in place of EMBGAMP)."""
+    y_pow = jnp.mean(jnp.abs(y) ** 2)
+    psi0 = y_pow / (1.0 + 10.0 ** (snr_db / 10.0))
+    n, m = a.shape[1], a.shape[0]
+    col_pow = jnp.mean(jnp.sum(jnp.abs(a) ** 2, axis=0))
+    phi0 = jnp.maximum((y_pow - psi0) * m
+                       / jnp.maximum(col_pow * lam0 * n, 1e-20), 1e-12)
+    res = vamp(a, y, lam0=lam0, phi0=phi0, gamma_w=1.0 / psi0, iters=iters)
+    return res.x
+
+
 def prgamp(y_mag, a, lam0: float = 0.1, iters: int = 300):
     """Phase-retrieval GAMP (magnitude-only output channel).
 

@@ -84,9 +84,14 @@ def build_problem(seed: int = 0):
 def make_step(a, u_mat, ladder):
     from twoace_tpu.ops.cplx import admm_iteration_pair_t
 
+    # opt-in: fuse the magnitude prox + M-dual update into one Pallas VMEM
+    # pass (twoace_tpu/ops/pallas/kernels.py::fused_prox_dual_t)
+    pallas_prox = os.environ.get("TWOACE_BENCH_PALLAS_PROX") == "1"
+
     def run(b, state):
         step = admm_iteration_pair_t(a, b, u_mat, NT, NR, ladder,
-                                     eig_mode="perturb")
+                                     eig_mode="perturb",
+                                     pallas_prox=pallas_prox)
 
         def body(s, _):
             return step(s), None

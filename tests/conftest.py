@@ -29,6 +29,20 @@ jax.config.update("jax_enable_compilation_cache", False)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One long pytest process accumulates hundreds of XLA:CPU executables;
+    in this environment the LLVM JIT eventually crashes (SIGSEGV/SIGABRT
+    inside backend_compile) once enough are alive.  Dropping the caches at
+    module boundaries keeps the live-executable count bounded; the cost is
+    re-jitting shared helpers per module.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)

@@ -413,7 +413,8 @@ def panel_gram_basis(z_t: Pair, nt: int, nr: int, sweeps: int = 8):
 def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                           ladder: Sequence[Tuple[int, float]],
                           sweeps: int = 1, eig_mode: str = "jacobi",
-                          matmul_dtype=None):
+                          matmul_dtype=None, pallas_prox: bool = False,
+                          pallas_interpret: bool = False):
     """Transposed-layout fused 2ACE ADMM iteration (the fast TPU path).
 
     Identical math to :func:`admm_iteration_pair` with ``warm_basis=True``,
@@ -457,7 +458,17 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                                       z.im - n_dual.im * inv_mu))
         x = mm(rhs, u_conj)                                   # (r, n)
         ax = mm(x, a_t)                                       # (r, m)
-        y_new = magnitude_prox_cols(ax, b, m_dual, mu)
+        if pallas_prox:
+            # fused VMEM-resident prox + M-dual update (Pallas kernel):
+            # one HBM pass over the (r, m) state instead of XLA's separate
+            # reduce / prox / dual kernels
+            from .pallas.kernels import fused_prox_dual_t
+
+            y_new, m_new = fused_prox_dual_t(ax, b, m_dual, mu,
+                                             interpret=pallas_interpret)
+        else:
+            y_new = magnitude_prox_cols(ax, b, m_dual, mu)
+            m_new = None
         z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
         # (r, nt*nr) -> panel (nr, r*nt): k = it*nr + ir
         r = r_of(z)
@@ -478,8 +489,9 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
             e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps,
                                                 v_basis, eig_mode=eig_mode)
         z_new = Pair(from_panel(e_new.re), from_panel(e_new.im))
-        m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
-                     m_dual.im + mu * (ax.im - y_new.im))
+        if m_new is None:
+            m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
+                         m_dual.im + mu * (ax.im - y_new.im))
         n_new = Pair(n_dual.re + mu * (x.re - z_new.re),
                      n_dual.im + mu * (x.im - z_new.im))
         return (y_new, z_new, m_new, n_new, mu * 1.03, v_new)

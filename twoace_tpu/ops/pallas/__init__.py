@@ -1,1 +1,5 @@
-from .kernels import fused_prox_dual, pair_matmul  # noqa: F401
+from .kernels import (  # noqa: F401
+    fused_prox_dual,
+    fused_prox_dual_t,
+    pair_matmul,
+)

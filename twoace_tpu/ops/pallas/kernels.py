@@ -82,6 +82,66 @@ def fused_prox_dual(ax: Pair, b, m_dual: Pair, mu,
     return Pair(y_re, y_im), Pair(mo_re, mo_im)
 
 
+def _prox_dual_t_kernel(b_ref, ax_re, ax_im, md_re, md_im, mu_ref,
+                        y_re, y_im, mo_re, mo_im):
+    """Transposed-layout block: arrays are (r, m_block); b is (1, m_block).
+
+    The per-measurement-row norm reduces over the leading (sublane) r axis,
+    so the lane dimension stays the long m axis — matching the production
+    transposed state layout of :func:`...cplx.admm_iteration_pair_t`.
+    """
+    mu = mu_ref[0, 0]
+    inv_mu = 1.0 / mu
+    yr = ax_re[:] + md_re[:] * inv_mu
+    yi = ax_im[:] + md_im[:] * inv_mu
+    d2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    coeff = (b_ref[:] / d + mu) / (1.0 + mu)
+    out_r = yr * coeff
+    out_i = yi * coeff
+    y_re[:] = out_r
+    y_im[:] = out_i
+    mo_re[:] = md_re[:] + mu * (ax_re[:] - out_r)
+    mo_im[:] = md_im[:] + mu * (ax_im[:] - out_i)
+
+
+@functools.partial(jax.jit, static_argnames=("block_cols", "interpret"))
+def fused_prox_dual_t(ax_t: Pair, b, m_dual_t: Pair, mu,
+                      block_cols: int = 512, interpret: bool = False):
+    """Fused ArgMinY + M-dual update on TRANSPOSED (r, m) state.
+
+    Drop-in fusion of :func:`...cplx.magnitude_prox_cols` plus the M dual
+    update (ref: inferLowRankV4_multi.m:511-523 and :336-337): one VMEM pass
+    instead of XLA's separate HBM-roundtripping prox and dual kernels.
+    Returns ``(y_t, m_new_t)`` pairs.
+    """
+    r, m = ax_t.re.shape
+    block_cols = min(block_cols, m)
+    grid = (pl.cdiv(m, block_cols),)
+    b2 = b.reshape(1, m)
+    mu_arr = jnp.asarray(mu, jnp.float32).reshape(1, 1)
+
+    def col_spec(rows):
+        return pl.BlockSpec((rows, block_cols), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((r, m), jnp.float32)] * 4
+    y_re, y_im, mo_re, mo_im = pl.pallas_call(
+        _prox_dual_t_kernel,
+        grid=grid,
+        in_specs=[
+            col_spec(1),
+            col_spec(r), col_spec(r), col_spec(r), col_spec(r),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[col_spec(r)] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(b2, ax_t.re, ax_t.im, m_dual_t.re, m_dual_t.im, mu_arr)
+    return Pair(y_re, y_im), Pair(mo_re, mo_im)
+
+
 def _pair_matmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, or_ref, oi_ref,
                         acc_r, acc_i, *, n_k: int):
     """One (TM, TN) output tile; loop over K blocks accumulates in VMEM."""

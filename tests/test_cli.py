@@ -39,6 +39,65 @@ def test_cli_vs_m_tiny(capsys, tmp_path):
     assert nmse_db < -3.0, nmse_db
 
 
+def test_cli_testbed_multires_dispatch(capsys):
+    """'multires' CLI choice must reach TestbedRunner.estimate's
+    'multiresolution' key (regression: ADVICE r1 KeyError)."""
+    res = _run(capsys, ["testbed", *TINY, "--method", "multires",
+                        "--rounds", "2", "--sectors", "4"])
+    assert res["cmd"] == "testbed"
+    assert res["method"] == "multires"
+
+
+def test_cli_recover_multires_tiers(capsys, tmp_path):
+    """recover --method multires must actually enable tier-aware sampling
+    (regression: ADVICE r1 silent multires=False)."""
+    import jax
+    import twoace_tpu as t2
+    from twoace_tpu.models import generate_channel
+    from twoace_tpu.sensing.codebooks import random_codebook, kron_probe_rows
+
+    cfg = t2.ArrayConfig(nt=4, nr=4)
+    key = jax.random.PRNGKey(3)
+    ch = generate_channel(key, cfg, t2.ChannelConfig(n_paths=1, rician_k=0),
+                          batch=1)
+    tx = random_codebook(jax.random.fold_in(key, 1), 8, cfg.nt).rows()
+    rx = random_codebook(jax.random.fold_in(key, 2), 8, cfg.nr).rows()
+    rows = np.asarray(kron_probe_rows(
+        tx.reshape(1, 8, cfg.nt).repeat(8, 0), rx)).reshape(-1, cfg.n)
+    amp = np.abs(rows @ np.asarray(ch.vec_h[0])) + 1e-9
+    rss_dbm = 10 * np.log10(np.maximum(amp ** 2 * 1000, 1e-30))
+    probes = tmp_path / "probes.npz"
+    np.savez(probes, cb_rows=rows, rss_dbm=rss_dbm)
+    res = _run(capsys, ["recover", *TINY, "--probes", str(probes),
+                        "--method", "multires"])
+    assert res["cmd"] == "recover"
+
+
+def test_import_main_module_is_safe():
+    """Importing twoace_tpu.__main__ must not parse sys.argv
+    (regression: ADVICE r1 SystemExit on import)."""
+    import importlib
+    import twoace_tpu.__main__ as m
+
+    importlib.reload(m)  # would raise SystemExit(2) without the guard
+
+
+def test_json_summary_is_strict(capsys):
+    """NaN must map to null in the summary line (ADVICE r1: bare NaN breaks
+    jq/JSON.parse)."""
+    from types import SimpleNamespace
+
+    from twoace_tpu.cli import _emit
+
+    _emit({"a": float("nan"), "b": np.float64("nan"),
+           "c": np.array([np.nan, 1.0]), "d": [float("nan")]},
+          {}, SimpleNamespace(out=None))
+    line = capsys.readouterr().out.strip()
+    parsed = json.loads(line)          # strict parse — bare NaN would fail
+    assert "NaN" not in line
+    assert parsed == {"a": None, "b": None, "c": [None, 1.0], "d": [None]}
+
+
 def test_cli_mobility_tiny(capsys, tmp_path):
     out = tmp_path / "mob.mat"
     res = _run(capsys, ["mobility", *TINY, "--windows", "3",

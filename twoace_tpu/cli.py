@@ -21,8 +21,8 @@ equivalent and ``scipy.io.savemat`` interop is a flag away (``--mat``).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
+import math
 import sys
 
 import numpy as np
@@ -30,14 +30,31 @@ import numpy as np
 
 def _json_default(o):
     if isinstance(o, np.ndarray):
-        return o.tolist()
-    if isinstance(o, (np.floating, np.integer)):
+        return _sanitize(o.tolist())
+    if isinstance(o, np.floating):
+        v = o.item()
+        return None if math.isnan(v) else v
+    if isinstance(o, np.integer):
         return o.item()
     return str(o)
 
 
+def _sanitize(o):
+    """Map NaN to null so the summary line is strict JSON (jq/JSON.parse
+    reject bare NaN)."""
+    if isinstance(o, float) and math.isnan(o):
+        return None
+    if isinstance(o, dict):
+        return {k: _sanitize(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_sanitize(v) for v in o]
+    if isinstance(o, np.ndarray):
+        return _sanitize(o.tolist())
+    return o
+
+
 def _emit(summary: dict, arrays: dict, args) -> None:
-    print(json.dumps(summary, default=_json_default))
+    print(json.dumps(_sanitize(summary), default=_json_default))
     if getattr(args, "out", None):
         if getattr(args, "mat", False):
             import scipy.io as sio
@@ -186,9 +203,11 @@ def cmd_testbed(args) -> None:
                       sectors_per_round=args.sectors), prov, key=key)
     runner.run_random_campaign()
     cc = CampaignConfig(array=cfg, n_paths=args.paths,
+                        multires=args.method == "multires",
                         admm=t2.AdmmConfig(maxiter=args.maxiter,
                                            n_restarts=args.restarts))
-    out = runner.estimate("random", args.method, cc=cc)
+    method = {"multires": "multiresolution"}.get(args.method, args.method)
+    out = runner.estimate("random", method, cc=cc)
     h = out.h_amp[-1, 0] * np.exp(1j * out.h_angle[-1, 0])
     nmse = float(nmse_h_projection(jnp.asarray(h)[None],
                                    ch.vec_h * 3e-4)[0])
@@ -219,8 +238,9 @@ def cmd_recover(args) -> None:
           "phaselift": recover_phaselift}[args.method]
     cc = CampaignConfig(
         array=t2.ArrayConfig(nt=args.nt, nr=args.nr),
+        multires=args.method == "multires",
         admm=t2.AdmmConfig(maxiter=args.maxiter, n_restarts=args.restarts))
-    out = fn(cb_rows, rss, seed_id=args.seed or 1, cc=cc)
+    out = fn(cb_rows, rss, seed_id=args.seed, cc=cc)
     summary = {"cmd": "recover", "method": args.method,
                "m_grid": out.m_grid}
     _emit(summary, {"h_amp": out.h_amp, "h_angle": out.h_angle,

@@ -163,9 +163,11 @@ def test_infer_admm_pair_jacobi_mode_matches_perturb():
     xs = spectral_initialize_pair(_pair(a), jnp.asarray(b), 8,
                                   key=jax.random.PRNGKey(0))
     for mode in ("jacobi", "perturb"):
-        x, y, _ = infer_admm_pair(_pair(a), jnp.asarray(b), xs,
-                                  scale_by_row=True, nt=8, nr=8,
-                                  ladder=ladder, maxiter=150, eig_mode=mode)
+        x, y, _, it = infer_admm_pair(_pair(a), jnp.asarray(b), xs,
+                                      scale_by_row=True, nt=8, nr=8,
+                                      ladder=ladder, maxiter=150,
+                                      eig_mode=mode)
+        assert 0 < int(it) <= 150
         # collapse the over-parameterized solution to its top column via
         # the Gram's leading eigenvector direction: just check the fit
         ax_re = np.asarray(x.re) @ a.real.T.astype(np.float32) \
@@ -199,6 +201,9 @@ def test_batched_shared_codebook_solver():
                                          b_batch, nt, nr,
                                          AdmmConfig(maxiter=150))
     assert res.x.re.shape == (batch, n)
+    # iteration accounting: >= 3 solves of <= 150 iters each ran per instance
+    assert res.iters.shape == (batch,)
+    assert all(0 < int(v) <= 150 * 8 for v in res.iters)
     for u in range(batch):
         x_est = np.asarray(res.x.re[u]) + 1j * np.asarray(res.x.im[u])
         assert _nmse_db(x_est, xs[u]) < -35, u

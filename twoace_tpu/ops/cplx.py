@@ -122,14 +122,19 @@ def unembed(m, n: int) -> Pair:
 def magnitude_prox_rows(ax: Pair, b, m_dual: Pair, mu) -> Pair:
     """Pair-form row-magnitude prox (scale_by_row=True ArgMinY).
 
-    ``ax``, ``m_dual``: (m, r) pairs; ``b``: (m,) real.
-    ref: inferLowRankV4_multi.m:511-523.
+    ``ax``, ``m_dual``: (m, r) pairs; ``b``: (m,) real.  Zero rows take the
+    reference's constant-direction branch Y(I,:) = 1/sqrt(r), D(I) = 1
+    (ref: inferLowRankV4_multi.m:511-523, zero branch :516-519).
     """
     inv_mu = 1.0 / mu
     yr = ax.re + m_dual.re * inv_mu
     yi = ax.im + m_dual.im * inv_mu
     d2 = jnp.sum(yr * yr + yi * yi, axis=-1, keepdims=True)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    zero = d2 <= 0
+    r = yr.shape[-1]
+    yr = jnp.where(zero, 1.0 / math.sqrt(r), yr)
+    yi = jnp.where(zero, 0.0, yi)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
     coeff = (b[..., None] / d + mu) / (1.0 + mu)
     return Pair(yr * coeff, yi * coeff)
 
@@ -175,12 +180,18 @@ def magnitude_prox_cols(ax_t: Pair, b, m_dual_t: Pair, mu) -> Pair:
 
     Same math as :func:`magnitude_prox_rows` with the over-parameterization
     axis r leading: the per-measurement-row norm reduces over axis -2.
+    Zero measurement rows take the reference's constant branch
+    (ref: inferLowRankV4_multi.m:516-519).
     """
     inv_mu = 1.0 / mu
     yr = ax_t.re + m_dual_t.re * inv_mu
     yi = ax_t.im + m_dual_t.im * inv_mu
     d2 = jnp.sum(yr * yr + yi * yi, axis=-2, keepdims=True)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    zero = d2 <= 0
+    r = yr.shape[-2]
+    yr = jnp.where(zero, 1.0 / math.sqrt(r), yr)
+    yi = jnp.where(zero, 0.0, yi)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
     coeff = (b[..., None, :] / d + mu) / (1.0 + mu)
     return Pair(yr * coeff, yi * coeff)
 

@@ -53,6 +53,12 @@ class PairAdmmResult(NamedTuple):
     x: Pair               #: (n,) recovered vec(H) as a pair
     quality: jax.Array    #: held-out quality 1 - ||(|A x|) - b|| / ||b||
     converged: jax.Array  #: bool
+    #: total inner-ADMM iterations whose results were used (sum of the
+    #: while-loop trip counts of every InferADMM solve on the selected
+    #: cond branches).  Under vmap both cond branches execute physically,
+    #: so per-chip iteration-rate estimates derived from this are
+    #: conservative.  ref iteration budget: inferLowRankV4_multi.m:13,42,89.
+    iters: jax.Array = jnp.asarray(0, jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +435,7 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     it=c["it"] + 1, done=converged, converged=converged)
 
     out = lax.while_loop(cond, body, init)
-    return out["opt_x"], out["opt_y"], out["converged"]
+    return out["opt_x"], out["opt_y"], out["converged"], out["it"]
 
 
 def _orthonormalize_cols_t(x: Pair) -> Pair:
@@ -478,10 +484,10 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
     kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
               mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode)
-    x, y, _ = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
+    x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
     x = _orthonormalize_cols_t(x)
-    x, y, converged = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
-    return x, y, converged
+    x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
+    return x, y, converged, it1 + it2
 
 
 def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
@@ -495,12 +501,12 @@ def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
                                  cfg.profile.rank_mults,
                                  cfg.profile.fractions,
                                  mode=cfg.profile.ladder))
-        x, y, _ = infer_admm_pair(
+        x, y, _, it = infer_admm_pair(
             a, b, x0, scale_by_row=True, nt=nt, nr=nr, ladder=ladder,
             prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
             tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
             eig_mode=eig_mode)
-        return x, y
+        return x, y, it
 
     return lax.cond(rank_one_flag, lambda: run(True), lambda: run(False))
 
@@ -576,6 +582,7 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
     thr = cfg.quality_threshold
 
     best = None
+    iters_total = jnp.asarray(0, jnp.int32)
     for i in range(n_restarts):
         ki = jax.random.fold_in(key, i)
         k_split, k_init = jax.random.split(ki)
@@ -587,22 +594,25 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
         a_te, b_te = _take_rows(a, test), b[test]
 
         xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
-        x, y, _ = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg, prox_kind,
-                             eig_mode)
+        x, y, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
+                                 prox_kind, eig_mode)
         q = _quality_pair(a_te, b_te, x)
 
         if prox_kind != "nuclear":
             poor = q < thr
 
-            def retry(xs=xs, a_tr=a_tr, b_tr=b_tr, a_te=a_te, b_te=b_te):
-                xr, yr, _ = _impl_pair(a_tr, b_tr, xs, nt, nr, True, cfg,
-                                       prox_kind, eig_mode)
-                return xr, yr, _quality_pair(a_te, b_te, xr)
+            def retry(xs=xs, a_tr=a_tr, b_tr=b_tr, a_te=a_te, b_te=b_te,
+                      it=it):
+                xr, yr, _, itr = _impl_pair(a_tr, b_tr, xs, nt, nr, True,
+                                            cfg, prox_kind, eig_mode)
+                return xr, yr, _quality_pair(a_te, b_te, xr), it + itr
 
-            x, y, q = lax.cond(poor, retry, lambda x=x, y=y, q=q: (x, y, q))
+            x, y, q, it = lax.cond(
+                poor, retry, lambda x=x, y=y, q=q, it=it: (x, y, q, it))
             rank_one = poor
         else:
             rank_one = jnp.asarray(False)
+        iters_total = iters_total + it
 
         if best is None:
             best = (x, y, q, rank_one)
@@ -618,8 +628,9 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
     x_max, y_max, q_max, rank_one = best                          # x_max (n,)
     x_max = Pair(x_max.re[None, :], x_max.im[None, :])            # (1, n)
 
-    x_ref, y_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one, cfg,
-                                     prox_kind, eig_mode)
+    x_ref, y_ref, it_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one,
+                                             cfg, prox_kind, eig_mode)
+    iters_total = iters_total + it_ref
     # similarity |<x_max, x_ref>| / (||x_max|| ||x_ref||)  (ref :93-98)
     dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)
     dot_im = jnp.sum(x_max.re * x_ref.im - x_max.im * x_ref.re)
@@ -632,4 +643,5 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
 
     scale = b_norm / a_norm
     return PairAdmmResult(x=Pair(x.re[0] * scale, x.im[0] * scale),
-                          quality=q_max, converged=jnp.asarray(True))
+                          quality=q_max, converged=jnp.asarray(True),
+                          iters=iters_total)

@@ -35,7 +35,12 @@ def _prox_dual_kernel(b_ref, ax_re, ax_im, md_re, md_im, mu_ref,
     yr = ax_re[:] + md_re[:] * inv_mu
     yi = ax_im[:] + md_im[:] * inv_mu
     d2 = jnp.sum(yr * yr + yi * yi, axis=1, keepdims=True)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    # zero rows: Y(I,:) = 1/sqrt(r), D(I) = 1 (ref :516-519)
+    zero = d2 <= 0
+    r = yr.shape[1]
+    yr = jnp.where(zero, 1.0 / (r ** 0.5), yr)
+    yi = jnp.where(zero, 0.0, yi)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
     coeff = (b_ref[:] / d + mu) / (1.0 + mu)
     out_r = yr * coeff
     out_i = yi * coeff
@@ -95,7 +100,12 @@ def _prox_dual_t_kernel(b_ref, ax_re, ax_im, md_re, md_im, mu_ref,
     yr = ax_re[:] + md_re[:] * inv_mu
     yi = ax_im[:] + md_im[:] * inv_mu
     d2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    # zero rows: Y(I,:) = 1/sqrt(r), D(I) = 1 (ref :516-519)
+    zero = d2 <= 0
+    r = yr.shape[0]
+    yr = jnp.where(zero, 1.0 / (r ** 0.5), yr)
+    yi = jnp.where(zero, 0.0, yi)
+    d = jnp.sqrt(jnp.where(zero, 1.0, d2))
     coeff = (b_ref[:] / d + mu) / (1.0 + mu)
     out_r = yr * coeff
     out_i = yi * coeff

@@ -255,3 +255,29 @@ def test_unconventional_cs_unit_norm(key):
     # b lies in the row space)
     corr = np.abs(np.vdot(np.asarray(x), np.asarray(x_true)))
     assert corr / (np.linalg.norm(x_true)) > 0.8
+
+
+def test_recover_channel_bf_passthrough(key):
+    """Recover_Channel_bf (ref: Recover_Channel_bf.m:1-45): re-runs the
+    ADMM variants on fresh beamforming-time measurements, but passes
+    through the earlier PhaseLift/PLOMP/PLGAMP estimates unchanged."""
+    from twoace_tpu.ops.dispatch import recover_channel_bf
+
+    rng = np.random.default_rng(21)
+    cfg = ArrayConfig(nt=4, nr=4)
+    n = cfg.n
+    m = 40
+    x = _rand_c(rng, n)
+    a = jnp.asarray(_rand_c(rng, m, n))
+    b = jnp.abs(a @ jnp.asarray(x)) * 2e5
+    flags = MethodFlags(admm_lowrank_v4=True, phaselift=True)
+    prev = {"phaselift": jnp.asarray(_rand_c(rng, n))}
+    out = recover_channel_bf(key, b, a, flags, cfg, prev)
+    assert set(out) == {"admm_lowrank_v4", "phaselift"}
+    np.testing.assert_array_equal(np.asarray(out["phaselift"]),
+                                  np.asarray(prev["phaselift"]))
+    assert np.isfinite(np.asarray(out["admm_lowrank_v4"])).all()
+    # enabled lifted method missing from `recovered` is an error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recover_channel_bf(key, b, a, MethodFlags(plomp=True), cfg, {})

@@ -250,3 +250,31 @@ def test_sweep_codebook_2d(key):
     assert set(np.unique(np.asarray(cb.bits))) <= {0, 1, 2, 3}
     # distinct steering directions give distinct codewords somewhere
     assert len(np.unique(np.asarray(cb.bits), axis=0)) > 10
+
+
+def test_directional_beams_rank_eliminated(key):
+    """Rank_Eliminated option (ref Directional_Beam.m:56-57,84-88,169-178):
+    output keeps Mt columns but only Mt - RE are independent; the extra RE
+    columns are pairwise sums of existing ones, so rank drops by RE."""
+    from twoace_tpu.sensing.codebooks import directional_beams_spatial
+
+    cfg = ArrayConfig(nt=8, nr=8)
+    f0, w0 = directional_beams_spatial(8, 8, cfg, 90.0)
+    f2, w2 = directional_beams_spatial(8, 8, cfg, 90.0,
+                                       rank_eliminated=2, key=key)
+    assert f2.shape == f0.shape == (8, 8)
+    assert w2.shape == (8, 8)
+    assert np.linalg.matrix_rank(np.asarray(f0), tol=1e-8) == 8
+    assert np.linalg.matrix_rank(np.asarray(f2), tol=1e-8) == 6
+    assert np.linalg.matrix_rank(np.asarray(w2), tol=1e-8) == 6
+    # first Mt-RE columns are plain quantized beams (unit modulus)
+    np.testing.assert_allclose(np.abs(np.asarray(f2[:, :6])),
+                               1 / np.sqrt(8), rtol=1e-6)
+    # clamping: RE > Mt-3 clamps to Mt-3 (ref :84-85), further tightened
+    # to (Mt-1)//2 where the reference MATLAB would index out of bounds
+    f_hi, _ = directional_beams_spatial(8, 8, cfg, 90.0,
+                                        rank_eliminated=99, key=key)
+    assert np.linalg.matrix_rank(np.asarray(f_hi), tol=1e-8) == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        directional_beams_spatial(8, 8, cfg, 90.0, rank_eliminated=1)

@@ -146,6 +146,45 @@ def recover_channel(key, measurements, beams, flags: MethodFlags,
     return out
 
 
+def recover_channel_bf(key, measurements, beams, flags: MethodFlags,
+                       cfg: ArrayConfig, recovered: Dict[str, jax.Array],
+                       admm_cfg: AdmmConfig = AdmmConfig()
+                       ) -> Dict[str, jax.Array]:
+    """Beamforming-time re-recovery dispatcher (ref: Recover_Channel_bf.m:1-45).
+
+    Re-runs only the (fast) ADMM variants on the fresh beamforming-phase
+    measurements; the expensive lifted methods — PhaseLift / PLOMP /
+    PLGAMP — are *passed through* from ``recovered``, the estimates of an
+    earlier :func:`recover_channel` call (ref: Recover_Channel_bf.m:32-44,
+    where H.PhaseLift = recovered_H.PhaseLift instead of re-solving).
+    """
+    out: Dict[str, jax.Array] = {}
+    b = jnp.real(jnp.asarray(measurements)).reshape(-1)
+    a = jnp.asarray(beams)
+
+    version_map = {
+        "admm": 0, "admm_lowrank_v1": 1, "admm_lowrank_v2": 2,
+        "admm_lowrank_v3": 3, "admm_lowrank_v4": 4,
+    }
+    for name, version in version_map.items():
+        if getattr(flags, name):
+            out[name] = admm_v2(jax.random.fold_in(key, version), b, a,
+                                cfg.nt, cfg.nr, version, admm_cfg).x
+    if flags.admm_nuclear:
+        out["admm_nuclear"] = admm_v2(jax.random.fold_in(key, 14), b, a,
+                                      cfg.nt, cfg.nr, 4, admm_cfg,
+                                      nuclear=True).x
+    for passthrough in ("phaselift", "plomp", "plgamp"):
+        if getattr(flags, passthrough):
+            if passthrough not in recovered:
+                raise ValueError(
+                    f"{passthrough} enabled but absent from `recovered`; "
+                    "Recover_Channel_bf reuses earlier estimates for the "
+                    "lifted methods")
+            out[passthrough] = recovered[passthrough]
+    return out
+
+
 def recover_sparse(key, measurements, measurement_mat, flags: MethodFlags,
                    s: int, noise_power: float = 1.0,
                    measurements_perfect=None, measurements_noisy=None,

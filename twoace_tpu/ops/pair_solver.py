@@ -58,7 +58,11 @@ class PairAdmmResult(NamedTuple):
     #: cond branches).  Under vmap both cond branches execute physically,
     #: so per-chip iteration-rate estimates derived from this are
     #: conservative.  ref iteration budget: inferLowRankV4_multi.m:13,42,89.
-    iters: jax.Array = jnp.asarray(0, jnp.int32)
+    # NOTE: plain-int default, NOT jnp.asarray(0): a device-array default
+    # would be materialized at import time and initialize the XLA backend,
+    # which breaks jax.distributed.initialize (must run before any backend
+    # use) for multi-host users importing this package.
+    iters: "jax.Array | int" = 0
 
 
 # ---------------------------------------------------------------------------

@@ -118,11 +118,31 @@ def directional_beams_angular(mt: int, mr: int, cfg: ArrayConfig,
 def directional_beams_spatial(mt: int, mr: int, cfg: ArrayConfig,
                               searching_area_deg: float,
                               oversample: int = 20,
-                              small_gain: float = 0.05):
+                              small_gain: float = 0.05,
+                              rank_eliminated: int = 0,
+                              key=None):
     """Directional beams with uniform gain in *spatial (sin) domain*:
     boxcar beam-space targets with overlap, least-squares mapped to antenna
     weights, then 2-bit quantized.  ref: Directional_Beam.m:69-167.
+
+    ``rank_eliminated`` (ref: Directional_Beam.m:56-57,84-88,169-178)
+    lowers the rank of F/W for the two-stage PLOMP/PLGAMP pipeline: only
+    ``Mt - rank_eliminated`` independent beams are designed, then
+    ``rank_eliminated`` *correlated* beams — pairwise sums of randomly
+    drawn existing columns — are appended, so the output keeps ``mt``/
+    ``mr`` columns but has rank ``mt - rank_eliminated``.  The draw is
+    without replacement over ``min(2*rank_eliminated, M)`` columns
+    (datasample 'Replace' false) and needs ``key`` when > 0.
     """
+    rank_eliminated = max(0, min(int(rank_eliminated), mt - 3))
+    # Deviation from the reference: additionally clamp so the pairwise
+    # draw has RE+1 distinct columns available — the MATLAB at
+    # Directional_Beam.m:170-174 indexes Fc_ind(RE+1) out of
+    # min(2*RE, Mt-RE) drawn elements and *errors* when RE > (Mt-1)/2.
+    rank_eliminated = min(rank_eliminated, (mt - 1) // 2, (mr - 1) // 2)
+    if rank_eliminated > 0 and key is None:
+        raise ValueError("rank_eliminated > 0 requires a PRNG key")
+    mt_ind, mr_ind = mt - rank_eliminated, mr - rank_eliminated
     half = math.radians(searching_area_deg / 2.0)
     lo, hi = -math.sin(half), math.sin(half)
 
@@ -151,8 +171,23 @@ def directional_beams_spatial(mt: int, mr: int, cfg: ArrayConfig,
         fmat = fmat / np.linalg.norm(fmat)
         return quantize_ps(jnp.asarray(fmat), cfg.phase_bit)
 
-    f = side(cfg.nt, cfg.grid_t, mt)
-    w = side(cfg.nr, cfg.grid_r, mr)
+    f = side(cfg.nt, cfg.grid_t, mt_ind)
+    w = side(cfg.nr, cfg.grid_r, mr_ind)
+    if rank_eliminated > 0:
+        kf, kw = jax.random.split(key)
+
+        def append_correlated(mat, m, k):
+            # datasample(1:M, min(2*RE, M), 'Replace', false), then
+            # column i+RE' = col(ind[i]) + col(ind[i+1])
+            # (ref: Directional_Beam.m:170-177)
+            ind = np.asarray(jax.random.permutation(k, m)[
+                : min(2 * rank_eliminated, m)])
+            cols = [mat[:, ind[i]] + mat[:, ind[i + 1]]
+                    for i in range(rank_eliminated)]
+            return jnp.concatenate([mat, jnp.stack(cols, axis=1)], axis=1)
+
+        f = append_correlated(f, mt_ind, kf)
+        w = append_correlated(w, mr_ind, kw)
     return f, w
 
 

@@ -108,3 +108,85 @@ def test_cli_mobility_tiny(capsys, tmp_path):
 
     saved = sio.loadmat(out)
     assert "rss_error" in saved
+
+
+def test_probe_budget_grid_pins_reference_m_grid():
+    """M grid = round(linspace(2, sqrt(4*Nt*Nr), 8)).^2 with MATLAB
+    half-away-from-zero rounding (ref: A2only.m:110-111)."""
+    from twoace_tpu.config import probe_budget_grid
+
+    assert probe_budget_grid(16, 16) == (4, 36, 121, 225, 361, 529, 784,
+                                         1024)
+    # 4x4: linspace(2,8,8) hits x.5 values where MATLAB round() and
+    # banker's rounding differ — pins the rounding convention too
+    assert probe_budget_grid(4, 4) == (4, 9, 16, 25, 25, 36, 49, 64)
+
+
+def test_cli_recover_uses_reference_m_grid(capsys, tmp_path):
+    """recover without --m-grid sweeps the reference probe-budget grid."""
+    import jax
+    import twoace_tpu as t2
+    from twoace_tpu.models import generate_channel
+    from twoace_tpu.sensing.codebooks import random_codebook, kron_probe_rows
+
+    cfg = t2.ArrayConfig(nt=4, nr=4)
+    key = jax.random.PRNGKey(5)
+    ch = generate_channel(key, cfg, t2.ChannelConfig(n_paths=1, rician_k=0),
+                          batch=1)
+    tx = random_codebook(jax.random.fold_in(key, 1), 8, cfg.nt).rows()
+    rx = random_codebook(jax.random.fold_in(key, 2), 8, cfg.nr).rows()
+    rows = np.asarray(kron_probe_rows(
+        tx.reshape(1, 8, cfg.nt).repeat(8, 0), rx)).reshape(-1, cfg.n)
+    amp = np.abs(rows @ np.asarray(ch.vec_h[0])) + 1e-9
+    rss_dbm = 10 * np.log10(np.maximum(amp ** 2 * 1000, 1e-30))
+    probes = tmp_path / "probes.npz"
+    np.savez(probes, cb_rows=rows, rss_dbm=rss_dbm)
+    res = _run(capsys, ["recover", *TINY, "--probes", str(probes),
+                        "--method", "a2only"])
+    assert res["m_grid"] == [4, 9, 16, 25, 25, 36, 49, 64]
+
+
+def test_multires_tier_thresholds_and_offsets():
+    """Tier selection (ref: multiresolution.m:111-112,137-143): M <= 96
+    draws from tier-1 rows [0, 1984); M <= 256 from tier-2 rows
+    [1984, 5952); larger M from tier-3 rows [5952, ...)."""
+    import jax
+    from twoace_tpu.config import MULTIRES_SEPARATION, MULTIRES_THRESHOLDS
+    from twoace_tpu.pipeline.recovery import CampaignConfig, _pick_m_indices
+
+    assert MULTIRES_THRESHOLDS == (96, 256)
+    assert MULTIRES_SEPARATION == (1984, 3968, 3968)
+
+    cc = CampaignConfig(multires=True)
+    key = jax.random.PRNGKey(0)
+    total = 1984 + 3968 + 3968
+    i1 = np.asarray(_pick_m_indices(key, 96, total, cc))
+    assert i1.min() >= 0 and i1.max() < 1984 and len(set(i1)) == 96
+    i2 = np.asarray(_pick_m_indices(key, 97, total, cc))
+    assert i2.min() >= 1984 and i2.max() < 5952
+    i2b = np.asarray(_pick_m_indices(key, 256, total, cc))
+    assert i2b.min() >= 1984 and i2b.max() < 5952
+    i3 = np.asarray(_pick_m_indices(key, 257, total, cc))
+    assert i3.min() >= 5952 and i3.max() < total
+
+
+def test_vs_sr_measurements_needed_semantics(monkeypatch):
+    """vs-sr picks the SMALLEST grid M whose NMSE meets the target, NaN when
+    none does (ref: VS_SR_par.m:73-102)."""
+    import jax
+    from twoace_tpu.pipeline import simulation as sim_mod
+
+    curves = {30.0: [0.5, 0.09, 0.01], 90.0: [0.5, 0.4, 0.3]}
+
+    class FakeRes:
+        def __init__(self, sr):
+            self.nmse = {"a2": np.asarray(curves[sr])}
+
+    def fake_sweep(key, m_grid, sim, searching_area):
+        return FakeRes(searching_area)
+
+    monkeypatch.setattr(sim_mod, "sweep_measurements", fake_sweep)
+    need = sim_mod.measurements_needed_vs_range(
+        jax.random.PRNGKey(0), [30.0, 90.0], [16, 64, 256],
+        nmse_target=0.1)
+    np.testing.assert_array_equal(need["a2"], [64.0, np.nan])

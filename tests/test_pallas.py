@@ -110,3 +110,112 @@ def test_pair_matmul_matches_reference():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.im), np.asarray(ref.im),
                                atol=1e-3)
+
+
+def test_fused_zprox_matches_reference():
+    """Fused Z-prox kernel == _panel_spectral_prox_c on a warm basis
+    (ref: inferLowRankV4_multi.m:423-485), incl. a second warm iteration
+    and vmap batching."""
+    import jax
+
+    from twoace_tpu.ops.pallas import fused_zprox_t
+    from twoace_tpu.ops.prox import profile_ladder
+
+    nt = nr = 8
+    r = 12
+    n = nt * nr
+    ladder = tuple(profile_ladder(nt, nr, 4 * n, n, False))
+    rng = np.random.default_rng(7)
+    z = _pair(rng, r, n)
+
+    def to_panel(x):
+        return x.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt)
+
+    def from_panel(e):
+        return e.reshape(nr, r, nt).transpose(1, 2, 0).reshape(r, nt * nr)
+
+    e = cplx.Pair(to_panel(z.re), to_panel(z.im))
+    v0 = cplx.panel_gram_basis_pair(e)[1]
+    e_ref, v_ref = cplx._panel_spectral_prox_c(e, nr, ladder, v0)
+    z_ref = cplx.Pair(from_panel(e_ref.re), from_panel(e_ref.im))
+
+    z_pl, v_pl = fused_zprox_t(z, v0, nt, nr, ladder, interpret=True)
+    np.testing.assert_allclose(np.asarray(z_pl.re), np.asarray(z_ref.re),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_pl.im), np.asarray(z_ref.im),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_pl.re), np.asarray(v_ref.re),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_pl.im), np.asarray(v_ref.im),
+                               atol=2e-5)
+
+    # warm second iteration through each path stays in agreement
+    e2_ref, _ = cplx._panel_spectral_prox_c(e, nr, ladder, v_ref)
+    z2_ref = cplx.Pair(from_panel(e2_ref.re), from_panel(e2_ref.im))
+    z2_pl, _ = fused_zprox_t(z, v_pl, nt, nr, ladder, interpret=True)
+    np.testing.assert_allclose(np.asarray(z2_pl.re), np.asarray(z2_ref.re),
+                               atol=5e-5)
+
+    # vmap adds a grid axis
+    zb = cplx.Pair(jnp.stack([z.re] * 3), jnp.stack([z.im] * 3))
+    vb = cplx.Pair(jnp.stack([v0.re] * 3), jnp.stack([v0.im] * 3))
+    zb_pl, _ = jax.vmap(
+        lambda zz, vv: fused_zprox_t(zz, vv, nt, nr, ladder,
+                                     interpret=True))(zb, vb)
+    np.testing.assert_allclose(np.asarray(zb_pl.re[2]), np.asarray(z_ref.re),
+                               atol=2e-5)
+
+
+def test_admm_iteration_pallas_zprox_matches_xla_path():
+    """Full fused iteration with the Pallas Z-prox == the JAX Z-prox path."""
+    import jax
+
+    from twoace_tpu.ops.prox import profile_ladder
+
+    nt = nr = 8
+    n = nt * nr
+    m = 2 * n
+    r = 12
+    ladder = tuple(profile_ladder(nt, nr, m, n, False))
+    rng = np.random.default_rng(9)
+    a = _pair(rng, m, n)
+    b = jnp.asarray(rng.uniform(0.5, 2.0, m), jnp.float32)
+    ug = np.linalg.inv(
+        (np.asarray(a.re) + 1j * np.asarray(a.im)).conj().T
+        @ (np.asarray(a.re) + 1j * np.asarray(a.im)) + np.eye(n))
+    u_mat = cplx.Pair(jnp.asarray(ug.real, jnp.float32),
+                      jnp.asarray(ug.imag, jnp.float32))
+
+    x0 = _pair(rng, r, n)
+    a_t = cplx.Pair(a.re.T, a.im.T)
+    y0 = cplx.matmul(x0, a_t)
+    zeros_m = cplx.Pair(jnp.zeros((r, m), jnp.float32),
+                        jnp.zeros((r, m), jnp.float32))
+    zeros_n = cplx.Pair(jnp.zeros((r, n), jnp.float32),
+                        jnp.zeros((r, n), jnp.float32))
+
+    def seed(z):
+        e = cplx.Pair(
+            z.re.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt),
+            z.im.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt))
+        return cplx.panel_gram_basis_pair(e)[1]
+
+    state = (y0, x0, zeros_m, zeros_n,
+             jnp.asarray(0.5, jnp.float32), seed(x0))
+
+    step_ref = cplx.admm_iteration_pair_t(a, b, u_mat, nt, nr, ladder,
+                                          eig_mode="perturb",
+                                          pallas_zprox=False)
+    step_pl = cplx.admm_iteration_pair_t(a, b, u_mat, nt, nr, ladder,
+                                         eig_mode="perturb",
+                                         pallas_zprox=True,
+                                         pallas_interpret=True)
+    s_ref, s_pl = state, state
+    for _ in range(3):
+        s_ref = step_ref(s_ref)
+        s_pl = step_pl(s_pl)
+    for i, (pr, pp) in enumerate(zip(s_ref[:4], s_pl[:4])):
+        np.testing.assert_allclose(np.asarray(pp.re), np.asarray(pr.re),
+                                   atol=5e-4, err_msg=f"state {i} re")
+        np.testing.assert_allclose(np.asarray(pp.im), np.asarray(pr.im),
+                                   atol=5e-4, err_msg=f"state {i} im")

@@ -425,6 +425,7 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                           ladder: Sequence[Tuple[int, float]],
                           sweeps: int = 1, eig_mode: str = "jacobi",
                           matmul_dtype=None, pallas_prox: bool = False,
+                          pallas_zprox=None,
                           pallas_interpret: bool = False):
     """Transposed-layout fused 2ACE ADMM iteration (the fast TPU path).
 
@@ -492,14 +493,31 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
             return ee.reshape(nr, r, nt).transpose(1, 2, 0).reshape(
                 r, nt * nr)
 
-        e = Pair(to_panel(z_in.re), to_panel(z_in.im))
-        if eig_mode == "perturb" and (v_basis is None
-                                      or isinstance(v_basis, Pair)):
-            e_new, v_new = _panel_spectral_prox_c(e, nr, ladder, v_basis)
+        use_pallas_z = pallas_zprox
+        if use_pallas_z is None:
+            from .pallas import pallas_default
+
+            use_pallas_z = (eig_mode == "perturb"
+                            and isinstance(v_basis, Pair)
+                            and pallas_default())
+        if use_pallas_z:
+            # fused Gram -> perturbative basis -> ladder -> delta-apply
+            # (one VMEM-resident Pallas kernel, no panel transposes)
+            from .pallas.kernels import fused_zprox_t
+
+            z_new, v_new = fused_zprox_t(z_in, v_basis, nt, nr,
+                                         tuple(ladder),
+                                         interpret=pallas_interpret)
         else:
-            e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps,
-                                                v_basis, eig_mode=eig_mode)
-        z_new = Pair(from_panel(e_new.re), from_panel(e_new.im))
+            e = Pair(to_panel(z_in.re), to_panel(z_in.im))
+            if eig_mode == "perturb" and (v_basis is None
+                                          or isinstance(v_basis, Pair)):
+                e_new, v_new = _panel_spectral_prox_c(e, nr, ladder, v_basis)
+            else:
+                e_new, v_new = _panel_spectral_prox(e, nr, ladder, sweeps,
+                                                    v_basis,
+                                                    eig_mode=eig_mode)
+            z_new = Pair(from_panel(e_new.re), from_panel(e_new.im))
         if m_new is None:
             m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
                          m_dual.im + mu * (ax.im - y_new.im))

@@ -212,8 +212,21 @@ def _panel_maps(nt: int, nr: int, r: int):
 
 def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
                      v0, eig_mode: str):
-    """Transposed-layout spectral-profile prox; returns (z_new, basis)."""
+    """Transposed-layout spectral-profile prox; returns (z_new, basis).
+
+    On TPU backends the warm-basis steady state routes through the fused
+    Pallas kernel (:func:`.pallas.fused_zprox_t`) — the whole Gram ->
+    perturbative basis update -> constraint ladder -> delta-apply chain in
+    one VMEM-resident kernel; the cold start (v0 None) and non-perturb
+    modes stay on the JAX path.  ref: inferLowRankV4_multi.m:423-485.
+    """
     from .cplx import _panel_spectral_prox, _panel_spectral_prox_c
+
+    if eig_mode == "perturb" and isinstance(v0, Pair):
+        from .pallas import fused_zprox_t, pallas_default
+
+        if pallas_default():
+            return fused_zprox_t(z, v0, nt, nr, tuple(ladder))
 
     r = z.shape[-2]
     to_panel, from_panel = _panel_maps(nt, nr, r)
@@ -277,6 +290,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     m, n = a.shape
     r = x0.shape[-2]
     has_z = ladder is not None or prox_kind == "nuclear"
+    from .pallas import pallas_default
+    use_pallas_prox = scale_by_row and pallas_default()
 
     if u_mat is None:
         u_mat = precompute_u_pair(a)
@@ -350,8 +365,14 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
             x = matmul(t, u_conj)                                # U = pinv^T'
         ax = a_mul(x)
 
-        # Y-update (ref :511-533)
-        if scale_by_row:
+        # Y-update (ref :511-533); on TPU the prox and the M-dual update
+        # fuse into one VMEM pass (Pallas)
+        m_dual_fused = None
+        if use_pallas_prox:
+            from .pallas import fused_prox_dual_t
+
+            y, m_dual_fused = fused_prox_dual_t(ax, b, c["m_dual"], mu)
+        elif scale_by_row:
             y = magnitude_prox_cols(ax, b, c["m_dual"], mu)
         else:
             y = magnitude_prox_cols_elem(ax, b, c["m_dual"], mu)
@@ -367,8 +388,11 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
 
         # dual updates (ref :336-341)
         j_m = _sub(ax, y)
-        m_dual = Pair(c["m_dual"].re + mu * j_m.re,
-                      c["m_dual"].im + mu * j_m.im)
+        if m_dual_fused is not None:
+            m_dual = m_dual_fused
+        else:
+            m_dual = Pair(c["m_dual"].re + mu * j_m.re,
+                          c["m_dual"].im + mu * j_m.im)
         if has_z:
             j_n = _sub(x, z)
             n_dual = Pair(c["n_dual"].re + mu * j_n.re,

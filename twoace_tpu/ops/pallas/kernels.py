@@ -205,3 +205,166 @@ def pair_matmul(a: Pair, b: Pair, tm: int = 128, tn: int = 128,
         interpret=interpret,
     )(a.re, a.im, b.re, b.im)
     return Pair(out_r, out_i)
+
+
+# ---------------------------------------------------------------------------
+# Fused spectral-profile Z-prox (the 2ACE novelty, ref:
+# inferLowRankV4_multi.m:423-485) as ONE Pallas kernel.
+#
+# The JAX implementation (cplx._panel_spectral_prox_c) runs ~15 separate XLA
+# ops per ADMM iteration: panel Gram, warm perturbative eigenbasis update
+# (rotate / first-order correction / Newton-Schulz), constraint-ladder
+# rescale, and the low-rank delta applied back to the panel — each a tiny
+# (nr x nr) or (nr x r*nt) op round-tripping HBM.  Here the whole chain runs
+# VMEM-resident in a single kernel.
+#
+# Layout trick (why there is no transpose anywhere): the panel form
+# E (nr, r*nt) of the transposed state z (r, nt*nr) is a TRANSPOSE of the
+# free reshape W = z.reshape(r*nt, nr) (nr is z's fastest axis).  The chain
+# is re-derived on W directly:
+#     G_W = W^H W              ( = conj(E E^H): conjugate-consistent basis)
+#     perturbative basis update on G_W with V0_W = conj(V0_E)
+#     delta_W = V diag(sqrt(scale)-1) V^H
+#     W_new = W + W delta_W    ( = reshape of E_new = E + delta_E E )
+# Every contraction is a lax.dot_general with explicit dimension numbers
+# (contract axis 0 for A^H B forms, axis 1 for A B^T forms), so Mosaic never
+# needs a physical transpose; 16x16 transposes inside the correction step
+# use the MXU identity trick  X^T = dot(X, I) contracting axis 0.
+# ---------------------------------------------------------------------------
+
+
+def _dg(x, y, ca: int, cb: int):
+    """dot_general contracting x's axis ``ca`` with y's axis ``cb``."""
+    return jax.lax.dot_general(x, y, (((ca,), (cb,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _zprox_kernel(w_re, w_im, v0_re, v0_im, wn_re, wn_im, vn_re, vn_im, *,
+                  ladder, rel_gap: float, max_norm: float, ns_steps: int):
+    """Fused Z-prox on W = z.reshape(r*nt, nr); V0 in W-convention."""
+    nr = v0_re.shape[-1]
+    wr, wi = w_re[:], w_im[:]
+    vr, vi = v0_re[:], v0_im[:]
+    eye = jnp.eye(nr, dtype=jnp.float32)
+
+    def t16(x):
+        # 16x16 transpose via MXU: (X^T)[p,q] = sum_k X[k,p] I[k,q]
+        return _dg(x, eye, 0, 0)
+
+    # ---- Gram G = W^H W (exactly Hermitian by construction)
+    g_re = _dg(wr, wr, 0, 0) + _dg(wi, wi, 0, 0)
+    g_im = _dg(wr, wi, 0, 0) - _dg(wi, wr, 0, 0)
+
+    # ---- rotate: gr = V0^H (G V0)
+    p_re = _dg(g_re, vr, 1, 0) - _dg(g_im, vi, 1, 0)
+    p_im = _dg(g_re, vi, 1, 0) + _dg(g_im, vr, 1, 0)
+    gr_re = _dg(vr, p_re, 0, 0) + _dg(vi, p_im, 0, 0)
+    gr_im = _dg(vr, p_im, 0, 0) - _dg(vi, p_re, 0, 0)
+
+    # ---- Rayleigh eigenvalue estimates (unsorted), row and column forms
+    lam_row = jnp.sum(gr_re * eye, axis=0, keepdims=True)      # (1, nr) j
+    lam_col = jnp.sum(gr_re * eye, axis=1, keepdims=True)      # (nr, 1) i
+
+    # ---- first-order correction C_ij = gr_ij / (l_j - l_i), masked
+    gap = lam_row - lam_col
+    mag = jnp.abs(lam_row) + jnp.abs(lam_col)
+    ok = jnp.abs(gap) > rel_gap * jnp.maximum(mag, 1e-30)
+    denom = jnp.where(ok, gap, 1.0)
+    c_re = jnp.where(ok, gr_re / denom, 0.0)
+    c_im = jnp.where(ok, gr_im / denom, 0.0)
+    # anti-Hermitian projection + Frobenius cap (Newton-Schulz basin)
+    c_re = 0.5 * (c_re - t16(c_re))
+    c_im = 0.5 * (c_im + t16(c_im))
+    fro = jnp.sqrt(jnp.sum(c_re * c_re + c_im * c_im))
+    capped = jnp.minimum(1.0, max_norm / jnp.maximum(fro, 1e-30))
+    c_re = c_re * capped
+    c_im = c_im * capped
+
+    # ---- V = V0 (I + C)
+    nvr = vr + (_dg(vr, c_re, 1, 0) - _dg(vi, c_im, 1, 0))
+    nvi = vi + (_dg(vr, c_im, 1, 0) + _dg(vi, c_re, 1, 0))
+    # ---- Newton-Schulz re-unitarization: V <- V (1.5 I - 0.5 V^H V)
+    for _ in range(ns_steps):
+        vtv_re = _dg(nvr, nvr, 0, 0) + _dg(nvi, nvi, 0, 0)
+        vtv_im = _dg(nvr, nvi, 0, 0) - _dg(nvi, nvr, 0, 0)
+        q_re = 1.5 * eye - 0.5 * vtv_re
+        q_im = -0.5 * vtv_im
+        tr = _dg(nvr, q_re, 1, 0) - _dg(nvi, q_im, 1, 0)
+        ti = _dg(nvr, q_im, 1, 0) + _dg(nvi, q_re, 1, 0)
+        nvr, nvi = tr, ti
+
+    # ---- constraint-ladder scales on the unsorted spectrum
+    # (ref: inferLowRankV4_multi.m:437-480; rank by pairwise comparison)
+    w_row = jnp.maximum(lam_row, 0.0)                          # (1, nr)
+    w_col = jnp.maximum(lam_col, 0.0)                          # (nr, 1)
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (nr, nr), 1)   # col index i
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (nr, nr), 0)   # row index j
+    gt = w_col > w_row                  # [j, i]: w_j > w_i
+    eq = w_col == w_row
+    tie = jnp.logical_and(eq, idx_j < idx_i)
+    rank = jnp.sum(jnp.logical_or(gt, tie).astype(jnp.float32),
+                   axis=0, keepdims=True)                      # (1, nr)
+    scale = jnp.ones_like(w_row)
+    v_tot = jnp.sum(w_row)
+    w_cur = w_row
+    for rk, f in ladder:
+        head = rank < float(rk)
+        vr_sum = jnp.sum(jnp.where(head, w_cur, 0.0))
+        need = vr_sum < v_tot * f
+        s = jnp.minimum(1.0, vr_sum / jnp.maximum(v_tot - vr_sum, 1e-30)
+                        * (1.0 / f - 1.0))
+        s = jnp.where(need, s, 1.0)
+        mult = jnp.where(head, 1.0, s)
+        w_cur = w_cur * mult
+        scale = scale * mult
+        v_tot = jnp.sum(w_cur)
+
+    # ---- delta = V diag(sqrt(scale)-1) V^H; W_new = W + W delta
+    coeff = jnp.sqrt(scale) - 1.0                              # (1, nr)
+    vc_re = nvr * coeff
+    vc_im = nvi * coeff
+    # delta = Vc V^H: contract lane axis of both (A B^H form)
+    d_re = _dg(vc_re, nvr, 1, 1) + _dg(vc_im, nvi, 1, 1)
+    d_im = _dg(vc_im, nvr, 1, 1) - _dg(vc_re, nvi, 1, 1)
+    wn_re[:] = wr + (_dg(wr, d_re, 1, 0) - _dg(wi, d_im, 1, 0))
+    wn_im[:] = wi + (_dg(wr, d_im, 1, 0) + _dg(wi, d_re, 1, 0))
+    vn_re[:] = nvr
+    vn_im[:] = nvi
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "nr", "ladder",
+                                             "interpret"))
+def fused_zprox_t(z_t: Pair, v0: Pair, nt: int, nr: int, ladder,
+                  interpret: bool = False):
+    """Fused warm spectral-profile Z-prox on transposed state z (r, nt*nr).
+
+    ``v0``: unitary Pair eigenbasis in the E-convention of
+    :func:`...cplx.panel_gram_basis_pair` / ``_panel_spectral_prox_c``
+    (conjugated to W-convention at the kernel boundary, so callers can mix
+    this kernel with the JAX path freely).  Returns ``(z_new, v_new)`` with
+    identical semantics to ``cplx._panel_spectral_prox_c`` on a warm basis.
+    ref: inferLowRankV4_multi.m:423-485.
+    """
+    r, n = z_t.shape[-2:]
+    assert n == nt * nr
+    k = r * nt
+    w_re = z_t.re.reshape(z_t.re.shape[:-2] + (k, nr))
+    w_im = z_t.im.reshape(z_t.im.shape[:-2] + (k, nr))
+
+    kern = functools.partial(
+        _zprox_kernel, ladder=tuple(ladder),
+        rel_gap=1e-3, max_norm=0.7, ns_steps=1)
+    full = lambda shape: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((k, nr), jnp.float32),
+                 jax.ShapeDtypeStruct((k, nr), jnp.float32),
+                 jax.ShapeDtypeStruct((nr, nr), jnp.float32),
+                 jax.ShapeDtypeStruct((nr, nr), jnp.float32)]
+    wn_re, wn_im, vn_re, vn_im = pl.pallas_call(
+        kern,
+        in_specs=[full(None)] * 4,
+        out_specs=[full(None)] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(w_re, w_im, v0.re, -v0.im)      # E-convention -> W-convention (conj)
+    z_new = Pair(wn_re.reshape(z_t.re.shape), wn_im.reshape(z_t.im.shape))
+    return z_new, Pair(vn_re, -vn_im)  # W-convention -> E-convention

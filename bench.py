@@ -132,14 +132,19 @@ def build_solve_problem(seed: int = 1):
 def make_step(a, u_mat, ladder):
     from twoace_tpu.ops.cplx import admm_iteration_pair_t
 
-    # the fused Pallas magnitude-prox + dual-update kernel is the default
-    # on TPU; TWOACE_BENCH_PALLAS_PROX=0 opts out
-    pallas_prox = os.environ.get("TWOACE_BENCH_PALLAS_PROX", "1") != "0"
+    # Kernel-loop batch is 256: XLA's batched small-matmul form beats the
+    # grid-per-instance Pallas kernels here (measured 377k vs 149k iter/s),
+    # so both fused kernels default OFF in this loop; the single-recovery
+    # latency path (solve_lowrank_multi_pair) is where they win (+14%).
+    # TWOACE_BENCH_PALLAS_PROX/_ZPROX=1 opt in for A/B runs.
+    pallas_prox = os.environ.get("TWOACE_BENCH_PALLAS_PROX", "0") == "1"
+    pallas_zprox = os.environ.get("TWOACE_BENCH_PALLAS_ZPROX", "0") == "1"
 
     def run(b, state):
         step = admm_iteration_pair_t(a, b, u_mat, NT, NR, ladder,
                                      eig_mode="perturb",
-                                     pallas_prox=pallas_prox)
+                                     pallas_prox=pallas_prox,
+                                     pallas_zprox=pallas_zprox)
 
         def body(s, _):
             return step(s), None
@@ -224,9 +229,36 @@ def bench_full_solve():
     return (total_iters / dt, SOLVE_BATCH / dt, float(np.median(nmse)))
 
 
+def bench_single_latency(reps: int = 10):
+    """One-recovery latency (the mobility-tracking path, ref:
+    RSS_Mobility.m:155-188 re-solves per window).  Uses the Pallas fused
+    kernels (auto default at batch 1)."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 4, (M, N))
+    a = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(N)
+    x = (rng.standard_normal(N) + 1j * rng.standard_normal(N)) / np.sqrt(2)
+    ap = Pair(jnp.asarray(a.real, jnp.float32),
+              jnp.asarray(a.imag, jnp.float32))
+    b = jnp.asarray(np.abs(a @ x), jnp.float32)
+    cfg = AdmmConfig(maxiter=MAXITER)
+    key = jax.random.PRNGKey(0)
+    int(np.asarray(solve_lowrank_multi_pair(key, ap, b, NT, NR, cfg).iters))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        res = solve_lowrank_multi_pair(jax.random.fold_in(key, i), ap, b,
+                                       NT, NR, cfg)
+        int(np.asarray(res.iters))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def main():
     full_iters_per_s, recov_per_s, med_nmse = bench_full_solve()
     kernel_iters_per_s = bench_kernel_loop()
+    latency_ms = bench_single_latency()
 
     print(json.dumps({
         "metric": "admm_iters_per_s",
@@ -236,6 +268,7 @@ def main():
                              2),
         "recoveries_per_s": round(recov_per_s, 2),
         "kernel_iters_per_s": round(kernel_iters_per_s, 1),
+        "solve_latency_ms": round(latency_ms, 1),
         "median_nmse_db": round(med_nmse, 1),
         "solve_batch": SOLVE_BATCH,
         "maxiter": MAXITER,

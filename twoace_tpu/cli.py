@@ -82,6 +82,7 @@ def _sim_config(args):
         channel=t2.ChannelConfig(n_paths=args.paths,
                                  rician_k=0 if args.paths > 1 else 5),
         snr_db=args.snr, add_noise=not args.noiseless,
+        beam_method=args.beam,
         methods=methods,
         admm=t2.AdmmConfig(maxiter=args.maxiter, n_restarts=args.restarts),
         n_trials=args.trials, impl=args.impl)
@@ -102,6 +103,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="MethodFlags fields to enable (e.g. admm_lowrank_v4 "
                         "plomp plgamp phaselift cs_perfect_phase)")
     p.add_argument("--impl", choices=["complex", "pair"], default="complex")
+    p.add_argument("--beam", default="Directional_Beam_Angular",
+                   choices=["Directional_Beam_Angular", "Directional_Beam",
+                            "Random_Phase_State", "Random_Beam_Bayes",
+                            "Directional_Random_Beam", "Region_Random_Beam"],
+                   help="sensing mode; random modes read --m-grid as TOTAL "
+                        "probe rows (ref A2only.m:110-111), directional "
+                        "modes as per-side beam counts (ref Vs_M_par.m)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", help="save full arrays to this .npz/.mat path")
     p.add_argument("--mat", action="store_true",

@@ -106,8 +106,15 @@ def conventional_cs(measurements_complex, a, s: int, noise_power: float,
     n = a.shape[1]
     if use_gamp:
         snr_db = 10.0 * jnp.log10(1.0 / jnp.maximum(noise_power, 1e-20))
-        return embgamp(measurements_complex, a, snr_db, lam0=s / n,
-                       learn_lambda=True)
+        x = embgamp(measurements_complex, a, snr_db, lam0=s / n,
+                    learn_lambda=True)
+        # EMBGAMP can diverge on hard instances; the reference wraps it in
+        # try/catch and falls back to OMP (My_TwoStage_Recovery.m:173-178).
+        # Non-finite output takes the same fallback here (jit-compatible:
+        # both branches run, the finite one is selected).
+        ok = jnp.all(jnp.isfinite(x.real) & jnp.isfinite(x.imag))
+        x_omp = omp(a, measurements_complex, max_steps=s)
+        return jnp.where(ok, x, x_omp)
     return omp(a, measurements_complex, max_steps=s)
 
 

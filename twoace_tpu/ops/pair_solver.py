@@ -211,7 +211,8 @@ def _panel_maps(nt: int, nr: int, r: int):
 
 
 def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
-                     v0, eig_mode: str):
+                     v0, eig_mode: str,
+                     use_pallas: Optional[bool] = None):
     """Transposed-layout spectral-profile prox; returns (z_new, basis).
 
     On TPU backends the warm-basis steady state routes through the fused
@@ -225,7 +226,9 @@ def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
     if eig_mode == "perturb" and isinstance(v0, Pair):
         from .pallas import fused_zprox_t, pallas_default
 
-        if pallas_default():
+        if use_pallas is None:
+            use_pallas = pallas_default()
+        if use_pallas:
             return fused_zprox_t(z, v0, nt, nr, tuple(ladder))
 
     r = z.shape[-2]
@@ -274,7 +277,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     mu0: float = 1e-3, rho: float = 1.03,
                     tol_rel: float = 1e-4, tol_abs: float = 1e-8,
                     maxiter: int = 500, sweeps: int = 1,
-                    eig_mode: str = "perturb"):
+                    eig_mode: str = "perturb",
+                    use_pallas: Optional[bool] = None):
     """One InferADMM solve in transposed pair layout.
 
     Mirrors :func:`.admm.infer_admm` (ref: inferLowRankV4_multi.m:281-386):
@@ -290,8 +294,15 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     m, n = a.shape
     r = x0.shape[-2]
     has_z = ladder is not None or prox_kind == "nuclear"
+    # use_pallas None = auto (backend default).  The fused kernels win
+    # the single-recovery latency path (~14% on chip) but LOSE to XLA's
+    # batched small-matmul form at large vmap batch, so the batch solver
+    # passes False explicitly (measured: kernel-loop 377k iter/s XLA vs
+    # 149k Pallas at batch 256; single-solve 233ms Pallas vs 266ms XLA).
     from .pallas import pallas_default
-    use_pallas_prox = scale_by_row and pallas_default()
+    if use_pallas is None:
+        use_pallas = pallas_default()
+    use_pallas_prox = scale_by_row and use_pallas
 
     if u_mat is None:
         u_mat = precompute_u_pair(a)
@@ -308,7 +319,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     def z_prox(z_in, mu, v0):
         if prox_kind == "nuclear":
             return _nuclear_prox_t(z_in, 1.0 / mu), v0
-        return _spectral_prox_t(z_in, nt, nr, ladder, sweeps, v0, eig_mode)
+        return _spectral_prox_t(z_in, nt, nr, ladder, sweeps, v0, eig_mode,
+                                use_pallas=use_pallas)
 
     # --- initialization (ref :300-321) ---
     x = x0
@@ -501,7 +513,8 @@ def _take_rows(a: Pair, idx) -> Pair:
 
 
 def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
-               cfg: AdmmConfig, prox_kind: str, eig_mode: str):
+               cfg: AdmmConfig, prox_kind: str, eig_mode: str,
+               use_pallas: Optional[bool] = None):
     """inferLowRankImpl in pair layout (ref :111-271)."""
     m, n = a.shape
     ladder = (None if prox_kind == "nuclear" else
@@ -511,7 +524,8 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
     u_mat = precompute_u_pair(a)
     kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
               mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
-              tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode)
+              tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode,
+              use_pallas=use_pallas)
     x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
     x = _orthonormalize_cols_t(x)
     x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
@@ -519,7 +533,7 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
 
 
 def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
-                      eig_mode):
+                      eig_mode, use_pallas=None):
     """Full-data refinement with traced use_rank_one flag (ref :92,:100)."""
     m, n = a.shape
 
@@ -533,7 +547,7 @@ def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
             a, b, x0, scale_by_row=True, nt=nt, nr=nr, ladder=ladder,
             prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
             tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
-            eig_mode=eig_mode)
+            eig_mode=eig_mode, use_pallas=use_pallas)
         return x, y, it
 
     return lax.cond(rank_one_flag, lambda: run(True), lambda: run(False))
@@ -565,8 +579,11 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
     keys = jax.random.split(jax.random.fold_in(key, 7), batch)
 
     def solve_one(ki, b, splits):
+        # batch path: XLA's batched small-matmul form beats grid-per-
+        # instance Pallas kernels at production batch sizes (see bench.py)
         return _solve_lowrank_core(ki, a, b, nt, nr, cfg, prox_kind,
-                                   eig_mode, n_restarts, splits)
+                                   eig_mode, n_restarts, splits,
+                                   use_pallas=False)
 
     # shared splits, drawn from the caller key (not per-instance)
     m = a.shape[0]
@@ -601,7 +618,7 @@ def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
 
 def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
                         prox_kind: str, eig_mode: str, n_restarts: int,
-                        splits) -> PairAdmmResult:
+                        splits, use_pallas=None) -> PairAdmmResult:
     """Shared scaffold; ``splits`` optionally provides per-restart
     (train, test) index vectors (used by the shared-codebook batch path)."""
     m, n = a.shape
@@ -623,7 +640,7 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
 
         xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
         x, y, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
-                                 prox_kind, eig_mode)
+                                 prox_kind, eig_mode, use_pallas)
         q = _quality_pair(a_te, b_te, x)
 
         if prox_kind != "nuclear":
@@ -632,7 +649,8 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
             def retry(xs=xs, a_tr=a_tr, b_tr=b_tr, a_te=a_te, b_te=b_te,
                       it=it):
                 xr, yr, _, itr = _impl_pair(a_tr, b_tr, xs, nt, nr, True,
-                                            cfg, prox_kind, eig_mode)
+                                            cfg, prox_kind, eig_mode,
+                                            use_pallas)
                 return xr, yr, _quality_pair(a_te, b_te, xr), it + itr
 
             x, y, q, it = lax.cond(
@@ -657,7 +675,8 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
     x_max = Pair(x_max.re[None, :], x_max.im[None, :])            # (1, n)
 
     x_ref, y_ref, it_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one,
-                                             cfg, prox_kind, eig_mode)
+                                             cfg, prox_kind, eig_mode,
+                                             use_pallas)
     iters_total = iters_total + it_ref
     # similarity |<x_max, x_ref>| / (||x_max|| ||x_ref||)  (ref :93-98)
     dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)

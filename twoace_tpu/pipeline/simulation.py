@@ -57,6 +57,23 @@ class SimulationConfig:
     impl: str = "complex"
 
 
+#: sensing modes whose rows are drawn directly (no physical F/W split)
+_NO_COMBINER_MODES = ("Random_Phase_State", "Random_Beam_Bayes")
+
+
+def _mt_mr(sim: SimulationConfig, m: int) -> Tuple[int, int]:
+    """Interpret a grid value m as (Mt, Mr).
+
+    Directional modes count per-side beams (total = Mt*Mr, ref:
+    Vs_M_par.m:149 sweeping Mt=Mr); combiner-less random modes count TOTAL
+    probe rows (ref: A2only.m:110-111, where the M grid indexes rows of the
+    flashed random codebook directly).
+    """
+    if sim.beam_method in _NO_COMBINER_MODES:
+        return m, 1
+    return m, m
+
+
 class SweepResult(NamedTuple):
     grid: np.ndarray                #: swept values (M, SNR, or range)
     nmse: Dict[str, np.ndarray]     #: method -> (len(grid),) mean NMSE
@@ -75,7 +92,27 @@ def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
     base_ctx = (jax.default_device(jax.devices("cpu")[0])
                 if sim.impl == "pair" else contextlib.nullcontext())
     base_flags = dataclasses.replace(sim.methods, admm_lowrank_v4=False,
-                                     admm=False, admm_nuclear=False)
+                                     admm=False, admm_nuclear=False,
+                                     phaselift=False)
+
+    # Standalone PhaseLift runs in the H domain with the factored
+    # Burer-Monteiro solver, vmapped over instances.  The reference's
+    # z-domain lifted SDP (MyCPR.m:120-139 via TFOCS TraceLS) is the
+    # "hours per solve" path (reference README.md:87) — its lifted
+    # dimension is the dictionary size squared; the H-domain lift
+    # (Recover_Channel.m:35, MyPhaseLift.m:69-108) plays the same
+    # baseline role at n = Nt*Nr and the BM factorization keeps it
+    # TPU-feasible (SURVEY §7 "hard parts").
+    if sim.methods.phaselift:
+        from ..ops.phaselift import phaselift_bm
+
+        keys_pl = jax.random.split(jax.random.fold_in(key, 777), batch)
+
+        def solve_pl(k, a, b2):
+            return phaselift_bm(k, a, b2).x
+
+        out["phaselift"] = np.asarray(jax.vmap(solve_pl)(
+            keys_pl, jnp.asarray(sensing.fw), meas.norm_square))
     if base_flags.enabled() or sim.add_noise:
         per_inst = []
         with base_ctx:
@@ -171,8 +208,16 @@ def _one_cell(key, sim: SimulationConfig, mt: int, mr: int,
             aod_range=(-searching_area / 2, searching_area / 2),
             aoa_range=(-searching_area / 2, searching_area / 2),
             batch=sim.n_trials)
+        # Combiner-less modes (random 2-bit rows) get IID noise: the
+        # reference leaves W = zeros there (Generate_Sensing_Matrix.m:105,
+        # assignment commented out at :117), which makes its colored noise
+        # diag(W' N) silently ZERO — a quirk in configuration space its
+        # noisy drivers never reach; replicating it would make every
+        # random-codebook sim secretly noiseless.
+        w_noise = None if sim.beam_method in _NO_COMBINER_MODES \
+            else sensing.w
         meas = generate_measurement(ks[2], sensing.fw, ch.vec_h, sim.snr_db,
-                                    sim.add_noise, w=sensing.w, mt=mt)
+                                    sim.add_noise, w=w_noise, mt=mt)
     out = _recover_all(ks[3], sim, meas, sensing, rep, ch)
     with gen_ctx:
         return _evaluate(out, rep, ch, sim)
@@ -185,7 +230,8 @@ def sweep_measurements(key, m_grid: Sequence[int],
     nmse_acc: Dict[str, list] = {}
     ang_acc: Dict[str, list] = {}
     for i, m in enumerate(m_grid):
-        nm, an = _one_cell(jax.random.fold_in(key, i), sim, m, m,
+        mt, mr = _mt_mr(sim, m)
+        nm, an = _one_cell(jax.random.fold_in(key, i), sim, mt, mr,
                            searching_area)
         for k, v in nm.items():
             nmse_acc.setdefault(k, []).append(v)
@@ -204,7 +250,8 @@ def sweep_snr(key, snr_grid: Sequence[float], m: int,
     ang_acc: Dict[str, list] = {}
     for i, snr in enumerate(snr_grid):
         sim_i = dataclasses.replace(sim, snr_db=float(snr))
-        nm, an = _one_cell(jax.random.fold_in(key, i), sim_i, m, m,
+        mt, mr = _mt_mr(sim_i, m)
+        nm, an = _one_cell(jax.random.fold_in(key, i), sim_i, mt, mr,
                            searching_area)
         for k, v in nm.items():
             nmse_acc.setdefault(k, []).append(v)
@@ -258,13 +305,16 @@ def sweep_measurements_trace(key, h_traces, m_grid: Sequence[int],
     for i, m in enumerate(m_grid):
         ks = jax.random.split(jax.random.fold_in(key, i), 3)
         rep = sparse_formulation(cfg, ch, searching_area)
+        mt, mr = _mt_mr(sim, m)
         sensing = generate_sensing_matrix(
-            ks[0], sim.beam_method, m, m, cfg, rep.ad,
+            ks[0], sim.beam_method, mt, mr, cfg, rep.ad,
             aod_range=(-searching_area / 2, searching_area / 2),
             aoa_range=(-searching_area / 2, searching_area / 2),
             batch=sim.n_trials)
+        w_noise = None if sim.beam_method in _NO_COMBINER_MODES \
+            else sensing.w
         meas = generate_measurement(ks[1], sensing.fw, ch.vec_h, sim.snr_db,
-                                    sim.add_noise, w=sensing.w, mt=m)
+                                    sim.add_noise, w=w_noise, mt=mt)
         out = _recover_all(ks[2], sim, meas, sensing, rep, ch)
         for name, est in out.items():
             est_j = jnp.asarray(est)

@@ -626,52 +626,66 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
     a, b, a_norm, b_norm = _normalize_problem_pair(a, b, cfg.tol_abs)
     thr = cfg.quality_threshold
 
-    best = None
-    iters_total = jnp.asarray(0, jnp.int32)
-    for i in range(n_restarts):
-        ki = jax.random.fold_in(key, i)
-        k_split, k_init = jax.random.split(ki)
-        if splits is None:
-            train, test = _split(k_split, m, cfg.cc_frac)
-        else:
-            train, test = splits[i]
+    # --- restarts, VMAPPED (the reference runs them serially,
+    # inferLowRankV4_multi.m:42-84; they are independent until the best-of
+    # selection, so on TPU they ride a free batch axis — SURVEY §2.8) ---
+    keys_r = [jax.random.fold_in(key, i) for i in range(n_restarts)]
+    k_inits = jnp.stack([jax.random.split(k)[1] for k in keys_r])
+    if splits is None:
+        tr_te = [_split(jax.random.split(k)[0], m, cfg.cc_frac)
+                 for k in keys_r]
+    else:
+        tr_te = splits
+    trains = jnp.stack([t for t, _ in tr_te])
+    tests = jnp.stack([t for _, t in tr_te])
+
+    def first_pass(k_init, train, test):
         a_tr, b_tr = _take_rows(a, train), b[train]
         a_te, b_te = _take_rows(a, test), b[test]
-
         xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
         x, y, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
                                  prox_kind, eig_mode, use_pallas)
-        q = _quality_pair(a_te, b_te, x)
+        return x, y, _quality_pair(a_te, b_te, x), it, xs
 
-        if prox_kind != "nuclear":
-            poor = q < thr
+    x, y, q, it, xs = jax.vmap(first_pass)(k_inits, trains, tests)
 
-            def retry(xs=xs, a_tr=a_tr, b_tr=b_tr, a_te=a_te, b_te=b_te,
-                      it=it):
-                xr, yr, _, itr = _impl_pair(a_tr, b_tr, xs, nt, nr, True,
+    if prox_kind != "nuclear":
+        poor = q < thr                                # (R,)
+
+        def retry_all():
+            def one(train, test, xs_i):
+                a_tr, b_tr = _take_rows(a, train), b[train]
+                a_te, b_te = _take_rows(a, test), b[test]
+                xr, yr, _, itr = _impl_pair(a_tr, b_tr, xs_i, nt, nr, True,
                                             cfg, prox_kind, eig_mode,
                                             use_pallas)
-                return xr, yr, _quality_pair(a_te, b_te, xr), it + itr
+                return xr, yr, _quality_pair(a_te, b_te, xr), itr
 
-            x, y, q, it = lax.cond(
-                poor, retry, lambda x=x, y=y, q=q, it=it: (x, y, q, it))
-            rank_one = poor
-        else:
-            rank_one = jnp.asarray(False)
-        iters_total = iters_total + it
+            xr, yr, qr, itr = jax.vmap(one)(trains, tests, xs)
+            sel = poor[:, None]
+            x2 = Pair(jnp.where(sel, xr.re, x.re),
+                      jnp.where(sel, xr.im, x.im))
+            y2 = Pair(jnp.where(sel, yr.re, y.re),
+                      jnp.where(sel, yr.im, y.im))
+            return (x2, y2, jnp.where(poor, qr, q),
+                    it + jnp.where(poor, itr, 0))
 
-        if best is None:
-            best = (x, y, q, rank_one)
-        else:
-            better = q > best[2]
-            best = (Pair(jnp.where(better, x.re, best[0].re),
-                         jnp.where(better, x.im, best[0].im)),
-                    Pair(jnp.where(better, y.re, best[1].re),
-                         jnp.where(better, y.im, best[1].im)),
-                    jnp.maximum(q, best[2]),
-                    jnp.where(better, rank_one, best[3]))
+        # Scalar any(poor) predicate: the rank-1 retry stays a LAZY branch
+        # in the single-recovery jit (it only runs when some restart fails
+        # the quality gate, matching the reference's data-dependent retry,
+        # ref :73-77).  Under the batch solver's instance-vmap the cond
+        # lowers to a select, same cost as the old per-restart conds.
+        x, y, q, it = lax.cond(jnp.any(poor), retry_all,
+                               lambda: (x, y, q, it))
+        rank_one = poor
+    else:
+        rank_one = jnp.zeros((n_restarts,), bool)
+    iters_total = jnp.sum(it).astype(jnp.int32)
 
-    x_max, y_max, q_max, rank_one = best                          # x_max (n,)
+    j = jnp.argmax(q)                                 # first max on ties
+    x_max = Pair(x.re[j], x.im[j])                    # (n,)
+    q_max = q[j]
+    rank_one = rank_one[j]
     x_max = Pair(x_max.re[None, :], x_max.im[None, :])            # (1, n)
 
     x_ref, y_ref, it_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one,

@@ -20,11 +20,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# NOTE: the persistent compile cache is deliberately NOT enabled here —
-# zstandard-compressed cache writes segfault the interpreter in this
-# environment (jax compilation_cache.put_executable_and_time → zstd backend).
-# The suite pays the JIT compile cost each run instead of crashing.
-jax.config.update("jax_enable_compilation_cache", False)
+# Persistent compile cache: round-1 hit interpreter segfaults in the zstd
+# cache-write path; a minimal repro no longer crashes (standalone and
+# pytest-context cache writes both succeed), so the cache is being
+# re-enabled behind an opt-in while it re-earns trust on full-suite runs.
+# TWOACE_TEST_COMPILE_CACHE=1 enables it; default stays off until a full
+# green run with it on is recorded.
+if os.environ.get("TWOACE_TEST_COMPILE_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 

@@ -20,13 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: round-1 hit interpreter segfaults in the zstd
-# cache-write path; a minimal repro no longer crashes (standalone and
-# pytest-context cache writes both succeed), so the cache is being
-# re-enabled behind an opt-in while it re-earns trust on full-suite runs.
-# TWOACE_TEST_COMPILE_CACHE=1 enables it; default stays off until a full
-# green run with it on is recorded.
-if os.environ.get("TWOACE_TEST_COMPILE_CACHE") == "1":
+# Persistent compile cache: ON by default.  Round-1 hit interpreter
+# segfaults in the zstd cache-write path; that no longer reproduces
+# (standalone repro, pytest-context repro, and a full 145-test suite run
+# with the cache on were all green), so the cache is re-enabled — warm
+# re-runs skip most of the ~20 min JIT cost.  TWOACE_TEST_COMPILE_CACHE=0
+# opts out if the crash ever resurfaces.
+if os.environ.get("TWOACE_TEST_COMPILE_CACHE", "1") != "0":
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

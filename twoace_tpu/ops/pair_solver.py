@@ -27,6 +27,7 @@ in the transposed (r-leading) pair layout of
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -344,6 +345,23 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     else:
         z = _zeros((1, 1))
         v_basis = jnp.eye(2, dtype=jnp.float32)
+
+    # Mega-kernel path: the whole remaining loop as ONE Pallas kernel with
+    # all state VMEM-resident (see ops/pallas/solver_kernel.py).  Same
+    # gating as the per-op kernels plus TWOACE_MEGAKERNEL (default on
+    # whenever the per-op kernels are on).
+    if (use_pallas and has_z and prox_kind == "spectral_profile"
+            and eig_mode == "perturb" and isinstance(v_basis, Pair)
+            and os.environ.get("TWOACE_MEGAKERNEL", "1") != "0"):
+        from .pallas.solver_kernel import fused_infer_admm
+
+        return fused_infer_admm(
+            a, b, u_mat, y, z, v_basis, mu0, nt=nt, nr=nr,
+            ladder=tuple(ladder), scale_by_row=scale_by_row, rho=rho,
+            tol_rel=tol_rel, tol_abs=tol_abs, maxiter=maxiter,
+            # off-TPU (forced TWOACE_PALLAS=1, e.g. CPU parity tests) the
+            # kernel runs in interpret mode
+            interpret=jax.default_backend() != "tpu")
 
     init = dict(y=y, z=z, m_dual=_zeros((r, m)),
                 n_dual=_zeros((r, n)) if has_z else _zeros((1, 1)),

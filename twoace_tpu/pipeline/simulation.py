@@ -237,6 +237,11 @@ def sweep_measurements(key, m_grid: Sequence[int],
             nmse_acc.setdefault(k, []).append(v)
         for k, v in an.items():
             ang_acc.setdefault(k, []).append(v)
+        # every cell has different shapes, so nothing compiled is reusable;
+        # dropping executables bounds the live-JIT count (XLA:CPU's LLVM
+        # engine fails with "Cannot allocate memory" once too many
+        # executables accumulate in one long-lived process)
+        jax.clear_caches()
     return SweepResult(grid=np.asarray(m_grid),
                        nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
                        aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
@@ -257,6 +262,7 @@ def sweep_snr(key, snr_grid: Sequence[float], m: int,
             nmse_acc.setdefault(k, []).append(v)
         for k, v in an.items():
             ang_acc.setdefault(k, []).append(v)
+        jax.clear_caches()          # bound live-JIT executables (see above)
     return SweepResult(grid=np.asarray(snr_grid),
                        nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
                        aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})

@@ -208,8 +208,10 @@ def bench_full_solve():
     cfg = AdmmConfig(maxiter=MAXITER)
     key = jax.random.PRNGKey(0)
 
+    t_c = time.perf_counter()
     res = solve_lowrank_multi_pair_batch(key, ap, b, NT, NR, cfg)
     total_iters = int(np.sum(np.asarray(res.iters)))   # warmup + readback
+    first_call_s = time.perf_counter() - t_c   # ~compile cost (cold cache)
 
     reps = 3
     t0 = time.perf_counter()
@@ -226,7 +228,8 @@ def bench_full_solve():
         nmse.append(10 * np.log10(max(
             np.linalg.norm(x_true[u] - c * x_est[u]) ** 2
             / np.linalg.norm(x_true[u]) ** 2, 1e-30)))
-    return (total_iters / dt, SOLVE_BATCH / dt, float(np.median(nmse)))
+    return (total_iters / dt, SOLVE_BATCH / dt, float(np.median(nmse)),
+            first_call_s)
 
 
 def bench_single_latency(reps: int = 10):
@@ -256,7 +259,7 @@ def bench_single_latency(reps: int = 10):
 
 
 def main():
-    full_iters_per_s, recov_per_s, med_nmse = bench_full_solve()
+    full_iters_per_s, recov_per_s, med_nmse, first_call_s = bench_full_solve()
     kernel_iters_per_s = bench_kernel_loop()
     latency_ms = bench_single_latency()
 
@@ -272,6 +275,9 @@ def main():
         "median_nmse_db": round(med_nmse, 1),
         "solve_batch": SOLVE_BATCH,
         "maxiter": MAXITER,
+        # first solve_lowrank_multi_pair_batch call incl. trace+compile of
+        # the three staged jits (near-zero when .jax_cache is warm)
+        "first_call_s": round(first_call_s, 1),
     }))
 
 

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Batch-size sweep of the full production solver.
+
+Times ``solve_lowrank_multi_pair_batch`` (the COMPLETE inferLowRankV4_multi
+scaffold, see bench.py) at SOLVE_BATCH in {16, 64, 256} and writes
+``BENCH_sweep_r03.json``.  This is the artifact reconciling the repo's
+headline throughput story: the driver's bench default is SOLVE_BATCH=64;
+larger batches amortize the fixed per-call cost (spectral init, refine,
+host-staged dispatch) over more instances.
+
+Run on the TPU chip:  python scripts/bench_batch_sweep.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+NT = NR = 16
+N = NT * NR
+M = 4 * N
+MAXITER = 500
+
+
+def build(batch, seed=1):
+    from twoace_tpu.ops.cplx import Pair
+
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 4, (M, N))
+    a = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(N)
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    bs = []
+    for _ in range(batch):
+        angs = rng.uniform(-1.2, 1.2, 4)
+        h = sum((rng.normal() + 1j * rng.normal())
+                * np.outer(steer(NR, angs[2 * i]),
+                           steer(NT, angs[2 * i + 1]).conj())
+                for i in range(2))
+        bs.append(np.abs(a @ h.T.reshape(-1)))
+    ap = Pair(jnp.asarray(a.real, jnp.float32),
+              jnp.asarray(a.imag, jnp.float32))
+    return ap, jnp.asarray(np.stack(bs), jnp.float32)
+
+
+def main():
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
+
+    cfg = AdmmConfig(maxiter=MAXITER)
+    key = jax.random.PRNGKey(0)
+    points = []
+    for batch in (16, 64, 256):
+        ap, b = build(batch)
+        t_c = time.perf_counter()
+        res = solve_lowrank_multi_pair_batch(key, ap, b, NT, NR, cfg)
+        iters = int(np.sum(np.asarray(res.iters)))
+        first_s = time.perf_counter() - t_c
+
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = solve_lowrank_multi_pair_batch(key, ap, b, NT, NR, cfg)
+            iters = int(np.sum(np.asarray(res.iters)))
+        dt = (time.perf_counter() - t0) / reps
+        points.append({
+            "solve_batch": batch,
+            "iters_per_s": round(iters / dt, 1),
+            "recoveries_per_s": round(batch / dt, 2),
+            "selected_iters": iters,
+            "wall_s": round(dt, 3),
+            "first_call_s": round(first_s, 1),
+        })
+        print(json.dumps(points[-1]), flush=True)
+
+    out = {
+        "workload": {"nt": NT, "nr": NR, "m": M, "maxiter": MAXITER,
+                     "solver": "solve_lowrank_multi_pair_batch (staged)"},
+        "backend": jax.default_backend(),
+        "points": points,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_sweep_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

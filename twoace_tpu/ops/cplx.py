@@ -40,6 +40,37 @@ class Pair(NamedTuple):
         return self.re.shape
 
 
+class LadderArrays(NamedTuple):
+    """Constraint ladder C(r, f) as *traced data* instead of static tuples.
+
+    ``ranks``/``fracs`` are fixed-length (L,) float32 arrays (padded with
+    no-op levels ``f = 0``: the ladder only acts when the head captures
+    less than fraction f of the variance, so f = 0 never triggers).  As a
+    pytree this flows through jit/vmap, which lets the quality-gated rank-1
+    retry and the refinement's rank-one flag (ref:
+    inferLowRankV4_multi.m:73-77,92-100) become a cheap per-instance
+    ladder *select* instead of a second traced solver branch — under a
+    batch vmap a ``lax.cond`` of two full solves lowers to a select that
+    executes both, doubling the work.
+    """
+
+    ranks: jax.Array  #: (..., L) head sizes r_k (float32, compared as rank < r_k)
+    fracs: jax.Array  #: (..., L) variance fractions f_k; 0 = padded no-op
+
+
+def ladder_levels(ladder):
+    """Normalize a ladder into an iterable of (rank, frac) levels.
+
+    Accepts the static tuple-of-(int, float) form produced by
+    :func:`..ops.prox.profile_ladder` or a traced :class:`LadderArrays`.
+    """
+    if isinstance(ladder, LadderArrays):
+        length = ladder.ranks.shape[-1]
+        return [(ladder.ranks[..., i], ladder.fracs[..., i])
+                for i in range(length)]
+    return list(ladder)
+
+
 def from_complex(x) -> Pair:
     x = jnp.asarray(x)
     return Pair(jnp.real(x).astype(jnp.float32),
@@ -125,6 +156,14 @@ def magnitude_prox_rows(ax: Pair, b, m_dual: Pair, mu) -> Pair:
     ``ax``, ``m_dual``: (m, r) pairs; ``b``: (m,) real.  Zero rows take the
     reference's constant-direction branch Y(I,:) = 1/sqrt(r), D(I) = 1
     (ref: inferLowRankV4_multi.m:511-523, zero branch :516-519).
+
+    Rows with ``b == 0`` are INACTIVE: their exact prox is y = 0
+    (objective (|y| - 0)^2 + mu |y - v|^2 with v = 0 for a zero A row).
+    This is the masking hook for static-shape window padding (mobility
+    tracking pads the sliding probe window with (A_i = 0, b_i = 0) rows so
+    the TPU solver compiles ONCE per run, ref: RSS_Mobility.m:155-188);
+    real measured amplitudes are strictly positive, so the rule is inert
+    for ordinary problems.
     """
     inv_mu = 1.0 / mu
     yr = ax.re + m_dual.re * inv_mu
@@ -135,7 +174,7 @@ def magnitude_prox_rows(ax: Pair, b, m_dual: Pair, mu) -> Pair:
     yr = jnp.where(zero, 1.0 / math.sqrt(r), yr)
     yi = jnp.where(zero, 0.0, yi)
     d = jnp.sqrt(jnp.where(zero, 1.0, d2))
-    coeff = (b[..., None] / d + mu) / (1.0 + mu)
+    coeff = (b[..., None] / d + mu) / (1.0 + mu) * (b[..., None] > 0)
     return Pair(yr * coeff, yi * coeff)
 
 
@@ -181,7 +220,8 @@ def magnitude_prox_cols(ax_t: Pair, b, m_dual_t: Pair, mu) -> Pair:
     Same math as :func:`magnitude_prox_rows` with the over-parameterization
     axis r leading: the per-measurement-row norm reduces over axis -2.
     Zero measurement rows take the reference's constant branch
-    (ref: inferLowRankV4_multi.m:516-519).
+    (ref: inferLowRankV4_multi.m:516-519); rows with ``b == 0`` are
+    inactive padding and prox to exactly 0 (see magnitude_prox_rows).
     """
     inv_mu = 1.0 / mu
     yr = ax_t.re + m_dual_t.re * inv_mu
@@ -192,7 +232,7 @@ def magnitude_prox_cols(ax_t: Pair, b, m_dual_t: Pair, mu) -> Pair:
     yr = jnp.where(zero, 1.0 / math.sqrt(r), yr)
     yi = jnp.where(zero, 0.0, yi)
     d = jnp.sqrt(jnp.where(zero, 1.0, d2))
-    coeff = (b[..., None, :] / d + mu) / (1.0 + mu)
+    coeff = (b[..., None, :] / d + mu) / (1.0 + mu) * (b[..., None, :] > 0)
     return Pair(yr * coeff, yi * coeff)
 
 
@@ -299,12 +339,12 @@ def ladder_scales(w, ladder):
     rank = jnp.sum(jnp.logical_or(gt, tie), axis=-1)          # (..., k)
     scale = jnp.ones_like(w)
     v_tot = jnp.sum(w, axis=-1)
-    for rk, f in ladder:
+    for rk, f in ladder_levels(ladder):
         head = rank < rk
         vr = jnp.sum(jnp.where(head, w, 0.0), axis=-1)
         need = vr < v_tot * f
         s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
-                        * (1.0 / f - 1.0))
+                        * (1.0 / jnp.maximum(f, 1e-30) - 1.0))
         s = jnp.where(need, s, 1.0)
         mult = jnp.where(head, 1.0, s[..., None])
         w = w * mult
@@ -379,11 +419,11 @@ def _panel_spectral_prox(e: Pair, nr: int, ladder, sweeps: int, v0,
     scale_c = jnp.ones_like(w_c)
     v_tot = jnp.sum(w_c, axis=-1)
     idx = jnp.arange(w_c.shape[-1])
-    for rk, f in ladder:
+    for rk, f in ladder_levels(ladder):
         vr = jnp.sum(jnp.where(idx < rk, w_c, 0.0), axis=-1)
         need = vr < v_tot * f
         s = jnp.minimum(1.0, vr / jnp.maximum(v_tot - vr, 1e-30)
-                        * (1.0 / f - 1.0))
+                        * (1.0 / jnp.maximum(f, 1e-30) - 1.0))
         s = jnp.where(need, s, 1.0)
         mult = jnp.where(idx >= rk, s[..., None], 1.0)
         w_c = w_c * mult
@@ -425,7 +465,7 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
                           ladder: Sequence[Tuple[int, float]],
                           sweeps: int = 1, eig_mode: str = "jacobi",
                           matmul_dtype=None, pallas_prox: bool = False,
-                          pallas_zprox=None,
+                          pallas_zprox: bool = False,
                           pallas_interpret: bool = False):
     """Transposed-layout fused 2ACE ADMM iteration (the fast TPU path).
 
@@ -493,13 +533,14 @@ def admm_iteration_pair_t(a: Pair, b, u_mat: Pair, nt: int, nr: int,
             return ee.reshape(nr, r, nt).transpose(1, 2, 0).reshape(
                 r, nt * nr)
 
-        use_pallas_z = pallas_zprox
-        if use_pallas_z is None:
-            from .pallas import pallas_default
-
-            use_pallas_z = (eig_mode == "perturb"
-                            and isinstance(v_basis, Pair)
-                            and pallas_default())
+        # Opt-in only (like pallas_prox): the Pallas Z-prox wins the
+        # single-recovery latency path but loses ~2.5x to XLA's batched
+        # small-matmul form at production vmap batch (measured in
+        # BENCH_breakdown.json), so a batched caller must not inherit it
+        # silently.  The latency path enables it via infer_admm_pair's
+        # own backend gate.
+        use_pallas_z = (pallas_zprox and eig_mode == "perturb"
+                        and isinstance(v_basis, Pair))
         if use_pallas_z:
             # fused Gram -> perturbative basis -> ladder -> delta-apply
             # (one VMEM-resident Pallas kernel, no panel transposes)
@@ -574,5 +615,88 @@ def admm_iteration_pair(a: Pair, b, u_mat: Pair, nt: int, nr: int,
         if warm_basis:
             return (y_new, z_new, m_new, n_new, mu * 1.03, v_new)
         return (y_new, z_new, m_new, n_new, mu * 1.03)
+
+    return step
+
+
+def admm_iteration_batch(a: Pair, b_batch, u_mat: Pair, nt: int, nr: int,
+                         ladder, zprox_mode: str = "pallas_batch",
+                         interpret: bool = False):
+    """Hand-batched transposed-layout ADMM iteration over B instances
+    sharing one codebook — the production batch shape WITHOUT vmap.
+
+    Identical math to ``vmap(admm_iteration_pair_t)``: state arrays carry
+    a leading (B,) axis that XLA folds into the matmul streaming dimension
+    for the three big Karatsuba matmuls, while the Z-prox runs the
+    LANE-PACKED block-diagonal Pallas kernel
+    (:func:`.pallas.kernels.fused_zprox_batch`): G = 128//nr instances per
+    (128, 128) MXU tile instead of per-instance (nr, nr) ops at ~1.5%
+    MXU utilization.  ``zprox_mode``: "pallas_batch" | "xla" (the vmapped
+    reference chain, for A/B benching).
+
+    State: ``(y (B,r,m), z (B,r,n), m_dual, n_dual, mu (B,1,1),
+    v_basis)`` where v_basis is the PACKED (B/G, L, L) basis pair for
+    "pallas_batch" (from :func:`.pallas.kernels.pack_basis_w`) or the
+    per-instance E-convention Pair for "xla".
+    """
+    a_conj = Pair(a.re, -a.im)                                # (m, n)
+    a_t = Pair(jnp.swapaxes(a.re, -1, -2),
+               jnp.swapaxes(a.im, -1, -2))                    # (n, m)
+    u_conj = Pair(u_mat.re, -u_mat.im)
+    b3 = b_batch[:, None, :]                                  # (B, 1, m)
+
+    def step(state):
+        y, z, m_dual, n_dual, mu, v_basis = state
+        inv_mu = 1.0 / mu
+        t = Pair(y.re - m_dual.re * inv_mu, y.im - m_dual.im * inv_mu)
+        k1 = matmul(t, a_conj)                                # (B, r, n)
+        rhs = Pair(k1.re + (z.re - n_dual.re * inv_mu),
+                   k1.im + (z.im - n_dual.im * inv_mu))
+        x = matmul(rhs, u_conj)
+        ax = matmul(x, a_t)                                   # (B, r, m)
+
+        # Y-prox (batched: reductions over the r axis broadcast over B)
+        d2 = jnp.sum(ax.re * ax.re + ax.im * ax.im, axis=-2, keepdims=True)
+        del d2
+        yr = ax.re + m_dual.re * inv_mu
+        yi = ax.im + m_dual.im * inv_mu
+        dd = jnp.sum(yr * yr + yi * yi, axis=-2, keepdims=True)
+        zero = dd <= 0
+        r = yr.shape[-2]
+        yr = jnp.where(zero, 1.0 / math.sqrt(r), yr)
+        yi = jnp.where(zero, 0.0, yi)
+        dmag = jnp.sqrt(jnp.where(zero, 1.0, dd))
+        coeff = (b3 / dmag + mu) / (1.0 + mu) * (b3 > 0)
+        y_new = Pair(yr * coeff, yi * coeff)
+
+        # Z-prox
+        z_in = Pair(x.re + n_dual.re * inv_mu, x.im + n_dual.im * inv_mu)
+        if zprox_mode == "pallas_batch":
+            from .pallas.kernels import fused_zprox_batch
+
+            z_new, v_new = fused_zprox_batch(z_in, v_basis, nt, nr,
+                                             tuple(ladder),
+                                             interpret=interpret)
+        else:
+            def one(zi, v0):
+                e = Pair(
+                    zi.re.reshape(r, nt, nr).transpose(2, 0, 1).reshape(
+                        nr, r * nt),
+                    zi.im.reshape(r, nt, nr).transpose(2, 0, 1).reshape(
+                        nr, r * nt))
+                e_new, v = _panel_spectral_prox_c(e, nr, ladder, v0)
+                return Pair(
+                    e_new.re.reshape(nr, r, nt).transpose(1, 2, 0).reshape(
+                        r, nt * nr),
+                    e_new.im.reshape(nr, r, nt).transpose(1, 2, 0).reshape(
+                        r, nt * nr)), v
+
+            z_new, v_new = jax.vmap(one)(z_in, v_basis)
+
+        m_new = Pair(m_dual.re + mu * (ax.re - y_new.re),
+                     m_dual.im + mu * (ax.im - y_new.im))
+        n_new = Pair(n_dual.re + mu * (x.re - z_new.re),
+                     n_dual.im + mu * (x.im - z_new.im))
+        return (y_new, z_new, m_new, n_new, mu * 1.03, v_new)
 
     return step

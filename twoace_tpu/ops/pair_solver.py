@@ -47,7 +47,8 @@ from .cplx import (
     unembed,
 )
 from .eigh_jacobi import eigh_jacobi
-from .prox import profile_ladder
+from .cplx import LadderArrays
+from .prox import profile_ladder, profile_ladder_arrays
 
 
 class PairAdmmResult(NamedTuple):
@@ -197,7 +198,8 @@ def magnitude_prox_cols_elem(ax: Pair, b, m_dual: Pair, mu) -> Pair:
     zero = d2 <= 0
     yr = jnp.where(zero, 1.0, yr)
     d = jnp.sqrt(jnp.where(zero, 1.0, d2))
-    coeff = (b[..., None, :] / d + mu) / (1.0 + mu)
+    # b == 0 rows are inactive padding -> y = 0 (see magnitude_prox_rows)
+    coeff = (b[..., None, :] / d + mu) / (1.0 + mu) * (b[..., None, :] > 0)
     return Pair(yr * coeff, yi * coeff)
 
 
@@ -224,7 +226,10 @@ def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
     """
     from .cplx import _panel_spectral_prox, _panel_spectral_prox_c
 
-    if eig_mode == "perturb" and isinstance(v0, Pair):
+    # The fused Pallas kernel bakes the ladder into the kernel as static
+    # constants; a traced LadderArrays ladder stays on the JAX path.
+    if (eig_mode == "perturb" and isinstance(v0, Pair)
+            and isinstance(ladder, tuple)):
         from .pallas import fused_zprox_t, pallas_default
 
         if use_pallas is None:
@@ -352,6 +357,7 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     # whenever the per-op kernels are on).
     if (use_pallas and has_z and prox_kind == "spectral_profile"
             and eig_mode == "perturb" and isinstance(v_basis, Pair)
+            and isinstance(ladder, tuple)
             and os.environ.get("TWOACE_MEGAKERNEL", "1") != "0"):
         from .pallas.solver_kernel import fused_infer_admm
 
@@ -511,9 +517,15 @@ def _orthonormalize_cols_t(x: Pair) -> Pair:
 
 
 def _normalize_problem_pair(a: Pair, b, tol_abs: float):
-    """Scale A to ||A||_F = sqrt(m), B to unit norm (ref :27-38)."""
-    m = a.shape[0]
-    a_norm = _norm(a) / math.sqrt(m)
+    """Scale A to ||A||_F = sqrt(m_eff), B to unit norm (ref :27-38).
+
+    ``m_eff`` counts ACTIVE rows (b > 0): static-shape padding rows
+    (A_i = 0, b_i = 0, see :func:`.cplx.magnitude_prox_rows`) leave the
+    normalization — and hence the effective ridge in U = inv(A^H A + I) —
+    identical to the unpadded problem.
+    """
+    m_eff = jnp.maximum(jnp.sum(b > 0), 1).astype(jnp.float32)
+    a_norm = _norm(a) / jnp.sqrt(m_eff)
     a_norm = jnp.where(a_norm < tol_abs, 1.0, a_norm)
     b_norm = jnp.linalg.norm(b)
     b_norm = jnp.where(b_norm < tol_abs, 1.0, b_norm)
@@ -532,14 +544,24 @@ def _take_rows(a: Pair, idx) -> Pair:
 
 def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
                cfg: AdmmConfig, prox_kind: str, eig_mode: str,
-               use_pallas: Optional[bool] = None):
-    """inferLowRankImpl in pair layout (ref :111-271)."""
+               use_pallas: Optional[bool] = None,
+               ladder=None, u_mat: Optional[Pair] = None):
+    """inferLowRankImpl in pair layout (ref :111-271).
+
+    ``ladder``/``u_mat`` may be supplied by the caller: the staged batch
+    solver passes a traced :class:`.cplx.LadderArrays` (so retry/normal
+    solves share one compiled graph) and hoists the per-train-split
+    U = inv(A^H A + I) precompute out of the instance vmap.
+    """
     m, n = a.shape
-    ladder = (None if prox_kind == "nuclear" else
-              profile_ladder(nt, nr, m, n, use_rank_one,
-                             cfg.profile.rank_mults, cfg.profile.fractions,
-                             mode=cfg.profile.ladder))
-    u_mat = precompute_u_pair(a)
+    if prox_kind == "nuclear":
+        ladder = None
+    elif ladder is None:
+        ladder = profile_ladder(nt, nr, m, n, use_rank_one,
+                                cfg.profile.rank_mults, cfg.profile.fractions,
+                                mode=cfg.profile.ladder)
+    if u_mat is None:
+        u_mat = precompute_u_pair(a)
     kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
               mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode,
@@ -572,7 +594,115 @@ def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
-                                   "eig_mode", "n_restarts"))
+                                   "eig_mode"))
+def _batch_first_pass(k_inits, a: Pair, b_batch, trains, tests,
+                      ladder: LadderArrays, nt: int, nr: int,
+                      cfg: AdmmConfig, prox_kind: str, eig_mode: str):
+    """Stage 1 of the batched solver: normalize + every (instance, restart)
+    first-pass solve (ref: inferLowRankV4_multi.m:27-68).
+
+    Returns ``(x (B,R,n), q (B,R), it (B,R), xs (B,R,r,n), a_n, b_n,
+    a_norm, b_norm)``.  U = inv(A^H A + I) of each train split is hoisted
+    out of the instance vmap (the codebook is shared, so it depends only
+    on the restart's split).
+    """
+    m, n = a.shape
+    r = min(cfg.rank, trains.shape[1], n)
+    a_norm = _norm(a) / math.sqrt(m)
+    a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
+    a_n = _scale(a, 1.0 / a_norm)
+    b_norm = jnp.linalg.norm(b_batch, axis=-1)
+    b_norm = jnp.where(b_norm < cfg.tol_abs, 1.0, b_norm)
+    b_n = b_batch / b_norm[:, None]
+
+    def per_restart(k_inits_r, train, test):
+        a_tr, a_te = _take_rows(a_n, train), _take_rows(a_n, test)
+        u_tr = precompute_u_pair(a_tr)
+
+        def per_instance(k_init, b):
+            b_tr, b_te = b[train], b[test]
+            xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
+            x, _, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
+                                     prox_kind, eig_mode, use_pallas=False,
+                                     ladder=ladder, u_mat=u_tr)
+            return x, _quality_pair(a_te, b_te, x), it, xs
+
+        return jax.vmap(per_instance)(k_inits_r, b_n)
+
+    x, q, it, xs = jax.vmap(per_restart, in_axes=(1, 0, 0), out_axes=1)(
+        k_inits, trains, tests)
+    return x, q, it, xs, a_n, b_n, a_norm, b_norm
+
+
+@partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
+                                   "eig_mode"))
+def _batch_retry(a_n: Pair, b_sel, train_sel, test_sel, xs_sel: Pair,
+                 ladder: LadderArrays, nt: int, nr: int, cfg: AdmmConfig,
+                 prox_kind: str, eig_mode: str):
+    """Stage 2: rank-1 retry of the gathered poor (instance, restart)
+    pairs only (ref: inferLowRankV4_multi.m:73-77).  ``b_sel`` (K, m),
+    ``train_sel``/``test_sel`` (K, k)/(K, m-k), ``xs_sel`` (K, r, n)."""
+
+    def one(b, train, test, xs):
+        a_tr, a_te = _take_rows(a_n, train), _take_rows(a_n, test)
+        b_tr, b_te = b[train], b[test]
+        x, _, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, True, cfg,
+                                 prox_kind, eig_mode, use_pallas=False,
+                                 ladder=ladder)
+        return x, _quality_pair(a_te, b_te, x), it
+
+    return jax.vmap(one)(b_sel, train_sel, test_sel, xs_sel)
+
+
+@partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
+                                   "eig_mode"))
+def _batch_refine(a_n: Pair, b_n, x: Pair, q, it_sum, rank_one_flags,
+                  ladder_normal: LadderArrays, ladder_r1: LadderArrays,
+                  a_norm, b_norm, nt: int, nr: int, cfg: AdmmConfig,
+                  prox_kind: str, eig_mode: str) -> PairAdmmResult:
+    """Stage 3: best-restart selection, full-data refinement with
+    similarity rollback, rescale (ref: inferLowRankV4_multi.m:79-107).
+
+    The reference re-solves with the rank-1 constraint when the selected
+    restart used the fallback (ref :92,:100); here that flag selects
+    between two ladder *arrays* feeding ONE solver graph — under the
+    instance vmap a ``lax.cond`` of two solves would execute both.
+    """
+    thr = cfg.quality_threshold
+    u_full = precompute_u_pair(a_n)
+
+    def one(x_i, q_i, r1_i, b, it_i, b_norm_i):
+        j = jnp.argmax(q_i)                           # first max on ties
+        x_max = Pair(x_i.re[j][None, :], x_i.im[j][None, :])
+        q_max = q_i[j]
+        rank_one = r1_i[j]
+        lad = None
+        if prox_kind != "nuclear":
+            lad = LadderArrays(
+                jnp.where(rank_one, ladder_r1.ranks, ladder_normal.ranks),
+                jnp.where(rank_one, ladder_r1.fracs, ladder_normal.fracs))
+        x_ref, _, _, it_ref = infer_admm_pair(
+            a_n, b, x_max, scale_by_row=True, nt=nt, nr=nr, ladder=lad,
+            u_mat=u_full, prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
+            tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
+            eig_mode=eig_mode, use_pallas=False)
+        # similarity |<x_max, x_ref>| / (||x_max|| ||x_ref||)  (ref :93-98)
+        dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)
+        dot_im = jnp.sum(x_max.re * x_ref.im - x_max.im * x_ref.re)
+        similarity = (jnp.sqrt(dot_re ** 2 + dot_im ** 2)
+                      / jnp.maximum(_norm(x_max) * _norm(x_ref), 1e-30))
+        rollback = jnp.logical_and(q_max > thr,
+                                   similarity < cfg.similarity_threshold)
+        xo = Pair(jnp.where(rollback, x_max.re, x_ref.re),
+                  jnp.where(rollback, x_max.im, x_ref.im))
+        s = b_norm_i / a_norm
+        return PairAdmmResult(
+            x=Pair(xo.re[0] * s, xo.im[0] * s), quality=q_max,
+            converged=jnp.asarray(True), iters=it_i + it_ref)
+
+    return jax.vmap(one)(x, q, rank_one_flags, b_n, it_sum, b_norm)
+
+
 def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
                                    cfg: AdmmConfig = AdmmConfig(),
                                    prox_kind: str = "spectral_profile",
@@ -589,27 +719,79 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
     (batch, r) into the matmul streaming dimension and the MXU runs at full
     utilization (see bench.py; ~2.5x over per-instance codebooks).
 
+    NOT itself jittable: this is a host-staged pipeline of three jitted
+    stages with ONE tiny host readback (the (B, R) quality gate) between
+    them.  The reference only pays the rank-1 retry when a restart's
+    held-out quality is poor (ref: inferLowRankV4_multi.m:73-77); a
+    single-jit formulation vmapped over instances turns that data-dependent
+    branch into a select that runs the retry for EVERY instance.  Staging
+    gathers just the poor (instance, restart) pairs (bucket-padded to limit
+    recompiles) and scatters the results back — typically zero extra work.
+
     Per-instance PRNG streams still drive the spectral initialization.
     Returns a PairAdmmResult with a leading batch axis.
     """
+    import numpy as np
+
     n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
     batch = b_batch.shape[0]
+    m, n = a.shape
+    pl = cfg.profile
+
+    # same key derivation as _solve_lowrank_core (instance streams + shared
+    # per-restart splits)
     keys = jax.random.split(jax.random.fold_in(key, 7), batch)
-
-    def solve_one(ki, b, splits):
-        # batch path: XLA's batched small-matmul form beats grid-per-
-        # instance Pallas kernels at production batch sizes (see bench.py)
-        return _solve_lowrank_core(ki, a, b, nt, nr, cfg, prox_kind,
-                                   eig_mode, n_restarts, splits,
-                                   use_pallas=False)
-
-    # shared splits, drawn from the caller key (not per-instance)
-    m = a.shape[0]
+    k_inits = jax.vmap(lambda ki: jnp.stack(
+        [jax.random.split(jax.random.fold_in(ki, i))[1]
+         for i in range(n_restarts)]))(keys)                     # (B, R, 2)
     splits = tuple(
         _split(jax.random.split(jax.random.fold_in(key, i))[0], m,
                cfg.cc_frac)
         for i in range(n_restarts))
-    return jax.vmap(solve_one, in_axes=(0, 0, None))(keys, b_batch, splits)
+    trains = jnp.stack([t for t, _ in splits])
+    tests = jnp.stack([t for _, t in splits])
+    m_tr = trains.shape[1]
+
+    lad_tr = profile_ladder_arrays(nt, nr, m_tr, n, False, pl.rank_mults,
+                                   pl.fractions, mode=pl.ladder)
+    x, q, it, xs, a_n, b_n, a_norm, b_norm = _batch_first_pass(
+        k_inits, a, b_batch, trains, tests, lad_tr, nt=nt, nr=nr, cfg=cfg,
+        prox_kind=prox_kind, eig_mode=eig_mode)
+
+    rank_one = np.zeros((batch, n_restarts), bool)
+    if prox_kind != "nuclear":
+        poor = np.asarray(q) < cfg.quality_threshold      # host readback
+        if poor.any():
+            inst_idx, rest_idx = np.nonzero(poor)
+            k_n = inst_idx.shape[0]
+            # bucket-pad to the next power of two to bound recompiles
+            k_pad = 1 << max(0, (k_n - 1).bit_length())
+            pad = np.zeros(k_pad - k_n, np.int64)
+            inst_p = np.concatenate([inst_idx, inst_idx[pad]])
+            rest_p = np.concatenate([rest_idx, rest_idx[pad]])
+            lad_r1 = profile_ladder_arrays(nt, nr, m_tr, n, True,
+                                           pl.rank_mults, pl.fractions,
+                                           mode=pl.ladder)
+            xr, qr, itr = _batch_retry(
+                a_n, b_n[inst_p], trains[rest_p], tests[rest_p],
+                Pair(xs.re[inst_p, rest_p], xs.im[inst_p, rest_p]),
+                lad_r1, nt=nt, nr=nr, cfg=cfg, prox_kind=prox_kind,
+                eig_mode=eig_mode)
+            ii, rr = inst_idx, rest_idx
+            x = Pair(x.re.at[ii, rr].set(xr.re[:k_n]),
+                     x.im.at[ii, rr].set(xr.im[:k_n]))
+            q = q.at[ii, rr].set(qr[:k_n])
+            it = it.at[ii, rr].add(itr[:k_n])
+            rank_one[ii, rr] = True
+
+    lad_full = profile_ladder_arrays(nt, nr, m, n, False, pl.rank_mults,
+                                     pl.fractions, mode=pl.ladder)
+    lad_full_r1 = profile_ladder_arrays(nt, nr, m, n, True, pl.rank_mults,
+                                        pl.fractions, mode=pl.ladder)
+    return _batch_refine(a_n, b_n, x, q, jnp.sum(it, axis=1),
+                         jnp.asarray(rank_one), lad_full, lad_full_r1,
+                         a_norm, b_norm, nt=nt, nr=nr, cfg=cfg,
+                         prox_kind=prox_kind, eig_mode=eig_mode)
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",

@@ -235,7 +235,9 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
             zero = d2 <= 0
             pyr = jnp.where(zero, 1.0, pyr)
             dmag = jnp.sqrt(jnp.where(zero, 1.0, d2))
-        cf = (b2 / dmag + mu) / (1.0 + mu)
+        # rows with b == 0 are INACTIVE (static-shape window padding):
+        # their exact prox is y = 0 (see cplx.magnitude_prox_rows)
+        cf = (b2 / dmag + mu) / (1.0 + mu) * (b2 > 0)
         ynr = pyr * cf
         yni = pyi * cf
         atynr, atyni = ah_mul(ynr, yni)

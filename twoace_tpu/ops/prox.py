@@ -31,18 +31,22 @@ def magnitude_prox(ax, b, m_dual, mu, scale_by_row: bool):
     ``ax``: (m, r) complex; ``b``: (m,) real; ``m_dual``: (m, r).
     """
     y = ax + m_dual / mu
+    # rows with b == 0 are INACTIVE (static-shape window padding): their
+    # exact prox is y = 0 (see cplx.magnitude_prox_rows); real measured
+    # amplitudes are strictly positive, so this is inert otherwise
+    active = b[..., None] > 0
     if scale_by_row:
         d = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-1, keepdims=True))
         r = y.shape[-1]
         y = jnp.where(d == 0, (1.0 / math.sqrt(r)) + 0j, y)
         d = jnp.where(d == 0, 1.0, d)
         bd = b[..., None] / d
-        return y * ((bd + mu) / (1.0 + mu)).astype(y.dtype)
+        return y * ((bd + mu) / (1.0 + mu) * active).astype(y.dtype)
     d = jnp.abs(y)
     y = jnp.where(d == 0, 1.0 + 0j, y)
     d = jnp.where(d == 0, 1.0, d)
     bd = b[..., None] / d
-    return y * ((bd + mu) / (1.0 + mu)).astype(y.dtype)
+    return y * ((bd + mu) / (1.0 + mu) * active).astype(y.dtype)
 
 
 def project_rows_to_magnitude(y, b, scale_by_row: bool):
@@ -98,6 +102,32 @@ def profile_ladder(nt: int, nr: int, m: int, n: int, use_rank_one: bool,
     if rs[0] <= 2:
         return tuple(zip(rs[1:], fs[1:]))
     return tuple(zip(rs, fs))
+
+
+def profile_ladder_arrays(nt: int, nr: int, m: int, n: int,
+                          use_rank_one: bool,
+                          rank_mults: Sequence[float] = (0.5, 0.7, 1.0, 2.0),
+                          fractions: Sequence[float] = (0.8, 0.9, 0.95, 0.995),
+                          mode: str = "v4", length: int = 4):
+    """The constraint ladder as fixed-length traced arrays (LadderArrays).
+
+    Same selection logic as :func:`profile_ladder`, padded to ``length``
+    levels with no-op entries (f = 0 never triggers a rescale).  Because
+    the rank-1 and normal ladders share one shape, the solver's
+    quality-gated retry / rank-one refinement flag (ref:
+    inferLowRankV4_multi.m:73-77,92-100) becomes a per-instance
+    ``jnp.where`` over ladder *data* instead of a second traced branch.
+    """
+    from .cplx import LadderArrays
+
+    lvl = profile_ladder(nt, nr, m, n, use_rank_one, rank_mults, fractions,
+                         mode=mode)
+    if len(lvl) > length:
+        raise ValueError(f"ladder has {len(lvl)} levels > length={length}")
+    ranks = [float(rk) for rk, _ in lvl] + [float(min(nt, nr))] * (length - len(lvl))
+    fracs = [float(f) for _, f in lvl] + [0.0] * (length - len(lvl))
+    return LadderArrays(jnp.asarray(ranks, jnp.float32),
+                        jnp.asarray(fracs, jnp.float32))
 
 
 def _columns_to_panel(z, nt: int, nr: int):

@@ -111,8 +111,15 @@ def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
         def solve_pl(k, a, b2):
             return phaselift_bm(k, a, b2).x
 
-        out["phaselift"] = np.asarray(jax.vmap(solve_pl)(
-            keys_pl, jnp.asarray(sensing.fw), meas.norm_square))
+        # complex-dtype BM factorization: pinned to CPU under impl="pair"
+        # (same policy as the sparse baselines — the pair impl exists for
+        # accelerators without complex support).  The H-domain estimate
+        # carries no sparse support, so _evaluate reports NaN AoD/AoA for
+        # it (the reference's angle metrics come from the sparse z,
+        # Evaluation_Recovery.m:85-126).
+        with base_ctx:
+            out["phaselift"] = np.asarray(jax.vmap(solve_pl)(
+                keys_pl, jnp.asarray(sensing.fw), meas.norm_square))
     if base_flags.enabled() or sim.add_noise:
         per_inst = []
         with base_ctx:
@@ -262,7 +269,10 @@ def sweep_snr(key, snr_grid: Sequence[float], m: int,
             nmse_acc.setdefault(k, []).append(v)
         for k, v in an.items():
             ang_acc.setdefault(k, []).append(v)
-        jax.clear_caches()          # bound live-JIT executables (see above)
+        # NOTE: no clear_caches() here — unlike sweep_measurements, every
+        # SNR cell shares identical shapes, so the compiled solver is
+        # reused across the whole grid (clearing would force a full
+        # recompile per SNR point for no memory benefit).
     return SweepResult(grid=np.asarray(snr_grid),
                        nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
                        aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})

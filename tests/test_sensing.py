@@ -57,7 +57,8 @@ def test_kron_probe_rows_ordering(key):
     rows = np.asarray(kron_probe_rows(tx, rx))
     expect = np.kron(np.asarray(tx)[1, 2], np.asarray(rx)[1])
     np.testing.assert_allclose(rows[1 * 4 + 2], expect)
-    # interleaved (multires) ordering: row (j, i) layout
+    # interleaved = round-fastest (the RANDOM codebook ordering,
+    # processsing_codebook_random.m:54-62): row (j, i) layout
     rows_i = np.asarray(kron_probe_rows(tx, rx, interleave=True))
     np.testing.assert_allclose(rows_i[2 * 3 + 1], expect)
 

@@ -127,7 +127,10 @@ class TestbedRunner:
         rx_cb = random_codebook(k2, rounds, cfg.nr)
         tx = tx_cb.rows().reshape(rounds, sectors, cfg.nt)
         rx = rx_cb.rows()
-        self._measure_rounds("random", tx, rx)
+        # round-fastest ordering, matching the shipped random_probe_cb
+        # row layout (processsing_codebook_random.m:54-62 reshape without
+        # permute; pinned in tests/test_reference_artifacts.py)
+        self._measure_rounds("random", tx, rx, interleave=True)
         return self
 
     def run_directional_campaign(self):
@@ -187,8 +190,13 @@ class TestbedRunner:
         return wt_aco, wr_aco
 
     def run_multires_campaign(self):
-        """Campaign 5: three-tier multires probing with sector-major
-        interleave (ref: main.py:317-394, processsing_codebook_multires.m:60)."""
+        """Campaign 5: three-tier multires probing (ref: main.py:317-394).
+
+        Rows use the MATLAB multires ordering (sector fastest, tiers in
+        contiguous row ranges — ``permute(cb,[2,1,3])`` then reshape,
+        processsing_codebook_multires.m:60-61), which the tier-aware
+        sampling of :func:`..pipeline.recovery._pick_m_indices` assumes
+        (row offsets 1984/3968/3968, ..._multiresolution.m:111-112)."""
         cfg = self.cfg.array
         k1, k2 = jax.random.split(jax.random.fold_in(self.key, 5))
         rounds = tuple(self.cfg.multires_rounds)
@@ -199,7 +207,7 @@ class TestbedRunner:
             k2, cfg.nt, tuple(r * sectors for r in rounds))
         tx = tx_cb.rows().reshape(total_rounds, sectors, cfg.nt)
         rx = rx_cb.rows()
-        self._measure_rounds("multires", tx, rx, interleave=True)
+        self._measure_rounds("multires", tx, rx, interleave=False)
         return self
 
     # ------------------------------------------------------------ estimation

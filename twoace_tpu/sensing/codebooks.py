@@ -443,12 +443,24 @@ def kron_probe_rows(tx_rows, rx_rows, interleave: bool = False):
 
     ``tx_rows``: (rounds, sectors, nt) complex; ``rx_rows``: (rounds, nr).
     Row (i, j) is ``kron(tx_rows[i, j], rx_rows[i])`` — Rx index fastest,
-    matching vec(H).  ref: processsing_codebook_random.m:54-62.
+    matching vec(H).
 
-    ``interleave=True`` applies the multires ordering
-    ``permute(cb, [2,1,3])`` — sector-major instead of round-major —
-    so that a prefix of rows spans *all* rounds (ref:
-    processsing_codebook_multires.m:60-61).
+    Row ORDERING (pinned against the shipped codebook_mat artifacts in
+    tests/test_reference_artifacts.py):
+
+    - ``interleave=False`` (default): round-major, sector index fastest —
+      flat row = sector + sectors*round.  This is MATLAB's MULTIRES
+      ordering ``permute(cb, [2,1,3])`` + column-major reshape
+      (ref: processsing_codebook_multires.m:60-61): resolution tiers
+      occupy CONTIGUOUS row ranges (tier 1 = rows [0, 62*32) for the
+      16-antenna codebook), which the tier-aware probe sampling assumes
+      (ref: ..._multiresolution.m:111-112,137-143 and
+      pipeline/recovery._pick_m_indices).
+
+    - ``interleave=True``: sector-major, round index fastest —
+      flat row = round + rounds*sector.  This is the RANDOM codebook
+      ordering (non-permuted column-major reshape,
+      ref: processsing_codebook_random.m:54-62).
     """
     rounds, sectors, nt_ = tx_rows.shape
     nr_ = rx_rows.shape[-1]

@@ -96,6 +96,45 @@ def group_antennas(phase_offsets: np.ndarray, group_size: int,
     return groups, calib_bits
 
 
+def per_panel_phase_offsets(steering_phase: np.ndarray,
+                            azim_deg: np.ndarray, elev_deg: np.ndarray,
+                            beam_map: np.ndarray, cols: int = 6,
+                            pitch: float = ELEMENT_PITCH) -> np.ndarray:
+    """Per-antenna hardware phase offsets (radians) from a measured
+    per-panel steering calibration sweep.
+
+    Reproduces the testbed's calibration chain exactly
+    (ref: AntennaPhaseShifts.m:3-8 + IdealSteeringVectorPerPanel.m:9-41):
+    the ideal per-panel steering vector over the (az, el) sweep grid is the
+    CONJUGATED geometric phasor (MATLAB's trailing ``'`` is ctranspose),
+    indexed by the 1-based ``beam_map`` and referenced to the panel's first
+    mapped antenna; the offset is the angle of the sweep-averaged
+    measured * conj(ideal) phasor.
+
+    Validated to machine precision against the SHIPPED testbed artifacts
+    (steering_vector_calib.mat -> hardware_phaseoffset.mat) in
+    tests/test_reference_artifacts.py.
+
+    ``steering_phase``: (n_beam, n_az, n_el) measured phases;
+    ``beam_map``: 1-based panel-antenna indices (n_beam,).
+    """
+    n_ant = steering_phase.shape[0]
+    total = int(beam_map.max())
+    total = max(total, cols * cols)
+    idx = np.arange(total)
+    geom = np.stack([idx % cols, idx // cols], axis=1).astype(float) * pitch
+    az = np.deg2rad(np.asarray(azim_deg, float))
+    el = np.deg2rad(np.asarray(elev_deg, float))
+    ux = np.cos(az)[:, None] * np.cos(el)[None, :]
+    uy = np.sin(az)[:, None] * np.cos(el)[None, :]
+    phase = 2 * np.pi * (geom[:, 0, None, None] * ux[None]
+                         + geom[:, 1, None, None] * uy[None])
+    ideal = np.conj(np.exp(1j * phase))[np.asarray(beam_map, int) - 1]
+    ideal = ideal * np.conj(ideal[0:1])
+    diff = np.exp(1j * steering_phase) * np.conj(ideal)
+    return np.angle(diff.reshape(n_ant, -1).sum(axis=1))
+
+
 def antenna_phase_shifts(steering_phase: np.ndarray,
                          ideal_steering: np.ndarray) -> np.ndarray:
     """Per-antenna hardware phase offsets from a measured steering calibration.

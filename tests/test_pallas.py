@@ -219,3 +219,132 @@ def test_admm_iteration_pallas_zprox_matches_xla_path():
                                    atol=5e-4, err_msg=f"state {i} re")
         np.testing.assert_allclose(np.asarray(pp.im), np.asarray(pr.im),
                                    atol=5e-4, err_msg=f"state {i} im")
+
+
+def test_fused_infer_admm_full_solve_parity(monkeypatch):
+    """The MEGAKERNEL full-solve path (ops/pallas/solver_kernel.py,
+    fused_infer_admm — the batch-1 DEFAULT on TPU) matches the XLA path at
+    the level of the complete inferLowRankV4_multi scaffold: same selected
+    iteration counts and recovered channel (interpret mode on CPU).
+
+    Guards the production single-solve default against regression — the
+    rest of the suite only covers the sub-kernels and single iterations.
+    """
+    import jax
+
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.pair_solver import _solve_lowrank_core
+
+    monkeypatch.setenv("TWOACE_MEGAKERNEL", "1")
+    rng = np.random.default_rng(7)
+    nt = nr = 8
+    n = nt * nr
+    m = 2 * n
+    bits = rng.integers(0, 4, (m, n))
+    a = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    angs = rng.uniform(-1.0, 1.0, 4)
+    h = sum((rng.normal() + 1j * rng.normal())
+            * np.outer(steer(nr, angs[2 * i]), steer(nt, angs[2 * i + 1]).conj())
+            for i in range(2))
+    x_true = h.T.reshape(-1)
+    b = jnp.asarray(np.abs(a @ x_true), jnp.float32)
+    ap = cplx.Pair(jnp.asarray(a.real, jnp.float32),
+                   jnp.asarray(a.imag, jnp.float32))
+    cfg = AdmmConfig(maxiter=60, n_restarts=1)
+    key = jax.random.PRNGKey(3)
+
+    res_xla = _solve_lowrank_core(key, ap, b, nt, nr, cfg,
+                                  "spectral_profile", "perturb", 1, None,
+                                  use_pallas=False)
+    res_pl = _solve_lowrank_core(key, ap, b, nt, nr, cfg,
+                                 "spectral_profile", "perturb", 1, None,
+                                 use_pallas=True)    # interpret on CPU
+
+    def nmse_db(res):
+        x = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+        c = np.vdot(x, x_true) / max(np.vdot(x, x).real, 1e-30)
+        return 10 * np.log10(np.linalg.norm(x_true - c * x) ** 2
+                             / np.linalg.norm(x_true) ** 2)
+
+    assert int(res_pl.iters) == int(res_xla.iters)
+    # quality carries ~500 iterations of fp32 drift between the interpret
+    # kernel and XLA's fusion order; 0.02 absolute is the observed envelope
+    np.testing.assert_allclose(float(res_pl.quality),
+                               float(res_xla.quality), atol=2e-2)
+    n_xla, n_pl = nmse_db(res_xla), nmse_db(res_pl)
+    assert abs(n_xla - n_pl) < 1.0, (n_xla, n_pl)
+    assert n_pl < -15.0, n_pl
+
+
+def test_fused_zprox_batch_matches_vmapped_chain():
+    """The lane-packed block-diagonal batched Z-prox kernel ==
+    vmap(_panel_spectral_prox_c) over instances (interpret mode).
+
+    This is the batch-256 production form: G = 128//nr instances per
+    (128, 128) MXU tile, block-diagonal algebra confining every reduction
+    to its instance (see kernels.fused_zprox_batch)."""
+    import jax
+
+    from twoace_tpu.ops.cplx import _panel_spectral_prox_c
+    from twoace_tpu.ops.pallas.kernels import (fused_zprox_batch,
+                                               pack_basis_w)
+    from twoace_tpu.ops.prox import profile_ladder
+
+    rng = np.random.default_rng(11)
+    nt = nr = 16
+    n = nt * nr
+    batch, r = 16, 6
+    ladder = profile_ladder(nt, nr, 4 * n, n, False)
+
+    z = cplx.Pair(jnp.asarray(rng.normal(size=(batch, r, n)), jnp.float32),
+                  jnp.asarray(rng.normal(size=(batch, r, n)), jnp.float32))
+
+    def to_panel(zi):
+        return cplx.Pair(
+            zi.re.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt),
+            zi.im.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt))
+
+    def from_panel(e):
+        return cplx.Pair(
+            e.re.reshape(nr, r, nt).transpose(1, 2, 0).reshape(r, nt * nr),
+            e.im.reshape(nr, r, nt).transpose(1, 2, 0).reshape(r, nt * nr))
+
+    # cold bases per instance (E-convention)
+    def seed(zi):
+        return cplx.panel_gram_basis_pair(to_panel(zi))[1]
+
+    basis0 = jax.vmap(seed)(z)
+
+    def ref_one(zi, v0):
+        e_new, v = _panel_spectral_prox_c(to_panel(zi), nr, ladder, v0)
+        return from_panel(e_new), v
+
+    z_ref, v_ref = jax.vmap(ref_one)(z, basis0)
+
+    packed0 = pack_basis_w(basis0, nr)
+    z_pl, v_pl = fused_zprox_batch(z, packed0, nt, nr, tuple(ladder),
+                                   interpret=True)
+
+    np.testing.assert_allclose(np.asarray(z_pl.re), np.asarray(z_ref.re),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z_pl.im), np.asarray(z_ref.im),
+                               atol=2e-4)
+
+    # packed bases: diagonal blocks == per-instance bases (W = conj(E))
+    g = 128 // nr
+    vr = np.asarray(v_pl.re).reshape(batch // g, g, nr, g, nr)
+    vi = np.asarray(v_pl.im).reshape(batch // g, g, nr, g, nr)
+    for bi in range(batch):
+        grp, gg = bi // g, bi % g
+        np.testing.assert_allclose(vr[grp, gg, :, gg, :],
+                                   np.asarray(v_ref.re[bi]), atol=2e-4)
+        np.testing.assert_allclose(vi[grp, gg, :, gg, :],
+                                   -np.asarray(v_ref.im[bi]), atol=2e-4)
+        # off-diagonal blocks are exactly zero
+        for hh in range(g):
+            if hh != gg:
+                assert np.abs(vr[grp, gg, :, hh, :]).max() == 0.0

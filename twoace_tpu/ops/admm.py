@@ -291,9 +291,16 @@ def _refine_cond(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind, eig_backend):
 
 
 def _normalize_problem(a, b, tol_abs):
-    """Scale A to ||A||_F = sqrt(m), B to unit norm (ref :27-38)."""
-    m = a.shape[0]
-    a_norm = _norm(a) / math.sqrt(m)
+    """Scale A to ||A||_F = sqrt(m_eff), B to unit norm (ref :27-38).
+
+    ``m_eff`` counts ACTIVE rows (b > 0): static-shape padding rows
+    (A_i = 0, b_i = 0) leave the normalization — and hence the effective
+    ridge in U = inv(A^H A + I) — identical to the unpadded problem (the
+    mobility tracker pads its sliding window to a fixed shape so the
+    solver compiles once, ref: RSS_Mobility.m:155-188).
+    """
+    m_eff = jnp.maximum(jnp.sum(b > 0), 1).astype(jnp.float32)
+    a_norm = _norm(a) / jnp.sqrt(m_eff)
     a_norm = jnp.where(a_norm < tol_abs, 1.0, a_norm)
     b_norm = _norm(b)
     b_norm = jnp.where(b_norm < tol_abs, 1.0, b_norm)

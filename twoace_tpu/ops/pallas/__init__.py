@@ -5,8 +5,11 @@ import jax
 from .kernels import (  # noqa: F401
     fused_prox_dual,
     fused_prox_dual_t,
+    fused_zprox_batch,
     fused_zprox_t,
+    pack_basis_w,
     pair_matmul,
+    zprox_batch_group,
 )
 
 

@@ -41,7 +41,8 @@ def _prox_dual_kernel(b_ref, ax_re, ax_im, md_re, md_im, mu_ref,
     yr = jnp.where(zero, 1.0 / (r ** 0.5), yr)
     yi = jnp.where(zero, 0.0, yi)
     d = jnp.sqrt(jnp.where(zero, 1.0, d2))
-    coeff = (b_ref[:] / d + mu) / (1.0 + mu)
+    # b == 0 rows are inactive padding -> y = 0 (cplx.magnitude_prox_rows)
+    coeff = (b_ref[:] / d + mu) / (1.0 + mu) * (b_ref[:] > 0)
     out_r = yr * coeff
     out_i = yi * coeff
     y_re[:] = out_r
@@ -106,7 +107,8 @@ def _prox_dual_t_kernel(b_ref, ax_re, ax_im, md_re, md_im, mu_ref,
     yr = jnp.where(zero, 1.0 / (r ** 0.5), yr)
     yi = jnp.where(zero, 0.0, yi)
     d = jnp.sqrt(jnp.where(zero, 1.0, d2))
-    coeff = (b_ref[:] / d + mu) / (1.0 + mu)
+    # b == 0 rows are inactive padding -> y = 0 (cplx.magnitude_prox_rows)
+    coeff = (b_ref[:] / d + mu) / (1.0 + mu) * (b_ref[:] > 0)
     out_r = yr * coeff
     out_i = yi * coeff
     y_re[:] = out_r
@@ -368,3 +370,200 @@ def fused_zprox_t(z_t: Pair, v0: Pair, nt: int, nr: int, ladder,
     )(w_re, w_im, v0.re, -v0.im)      # E-convention -> W-convention (conj)
     z_new = Pair(wn_re.reshape(z_t.re.shape), wn_im.reshape(z_t.im.shape))
     return z_new, Pair(vn_re, -vn_im)  # W-convention -> E-convention
+
+
+# ---------------------------------------------------------------------------
+# BATCHED fused Z-prox: G instances lane-packed into one (128, 128) tile.
+#
+# At production batch sizes the per-instance chain above loses to XLA: each
+# 16x16 op occupies 16/128 x 16/128 of an MXU pass (~1.5% utilization), and
+# the grid serializes instances.  The batched kernel packs G = 128 // nr
+# instances along the LANE axis and represents every per-instance (nr, nr)
+# matrix as one (128, 128) BLOCK-DIAGONAL matrix.  Key algebraic fact:
+# block-diagonal matrices are CLOSED under matmul — blockdiag(A_g) @
+# blockdiag(B_g) = blockdiag(A_g B_g) — so after masking the initial Gram
+# once, the entire perturbative-eigenbasis / Newton-Schulz / delta chain
+# runs as dense 128x128 MXU ops computing all G instances at once (the off-
+# diagonal blocks stay exactly zero: zero rows times anything is zero).
+# The two panel-sized contractions (Gram and delta-apply) become
+# (k, 128) x (128, 128) matmuls — 8x more FLOPs than the G separate
+# (k, nr) forms but ~8x fewer MXU passes, a strict win at nr = 16.
+# Per-instance reductions (Frobenius cap, ladder variance sums, eigenvalue
+# ranks) are confined to blocks by a 0/1 same-block mask, applied via one
+# (1, 128) @ (128, 128) matmul per reduction.
+# ---------------------------------------------------------------------------
+
+
+def _zprox_batch_kernel(w_re, w_im, v0_re, v0_im,
+                        wn_re, wn_im, vn_re, vn_im, *,
+                        nr: int, ladder, rel_gap: float, max_norm: float,
+                        ns_steps: int):
+    """Fused Z-prox on G lane-packed instances; all (L, L) ops block-diag.
+
+    ``w_*``: (1, k, L) packed panels W_g side by side (L = G * nr);
+    ``v0_*``: (1, L, L) block-diagonal warm basis (W-convention).
+    """
+    l_dim = v0_re.shape[-1]
+    wr, wi = w_re[0], w_im[0]
+    vr, vi = v0_re[0], v0_im[0]
+    eye = jnp.eye(l_dim, dtype=jnp.float32)
+    # same-block mask: block(i) == block(j)
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 0) // nr
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 1) // nr
+    bmask = (idx_i == idx_j).astype(jnp.float32)
+
+    def t_l(x):
+        return _dg(x, eye, 0, 0)
+
+    def block_sum(v_row):
+        """Per-block totals of a (1, L) row, broadcast back to (1, L)."""
+        return _dg(v_row, bmask, 1, 0)
+
+    # ---- packed Gram, masked to block-diagonal once
+    g_re = (_dg(wr, wr, 0, 0) + _dg(wi, wi, 0, 0)) * bmask
+    g_im = (_dg(wr, wi, 0, 0) - _dg(wi, wr, 0, 0)) * bmask
+
+    # ---- rotate: gr = V0^H (G V0)   (block-diag in, block-diag out)
+    p_re = _dg(g_re, vr, 1, 0) - _dg(g_im, vi, 1, 0)
+    p_im = _dg(g_re, vi, 1, 0) + _dg(g_im, vr, 1, 0)
+    gr_re = _dg(vr, p_re, 0, 0) + _dg(vi, p_im, 0, 0)
+    gr_im = _dg(vr, p_im, 0, 0) - _dg(vi, p_re, 0, 0)
+
+    lam_row = jnp.sum(gr_re * eye, axis=0, keepdims=True)      # (1, L)
+    lam_col = jnp.sum(gr_re * eye, axis=1, keepdims=True)      # (L, 1)
+
+    # ---- first-order correction (cross-block entries have gr == 0 -> 0)
+    gap = lam_row - lam_col
+    mag = jnp.abs(lam_row) + jnp.abs(lam_col)
+    ok = jnp.abs(gap) > rel_gap * jnp.maximum(mag, 1e-30)
+    denom = jnp.where(ok, gap, 1.0)
+    c_re = jnp.where(ok, gr_re / denom, 0.0) * bmask
+    c_im = jnp.where(ok, gr_im / denom, 0.0) * bmask
+    c_re = 0.5 * (c_re - t_l(c_re))
+    c_im = 0.5 * (c_im + t_l(c_im))
+    # per-block Frobenius cap: row sums -> transpose -> block totals
+    row2 = jnp.sum(c_re * c_re + c_im * c_im, axis=1, keepdims=True)  # (L,1)
+    fro2 = block_sum(t_l(row2))                                       # (1,L)
+    fro = jnp.sqrt(jnp.maximum(fro2, 0.0))
+    capped = jnp.minimum(1.0, max_norm / jnp.maximum(fro, 1e-30))
+    c_re = c_re * capped            # per-block column scale == block scale
+    c_im = c_im * capped
+
+    # ---- V = V0 (I + C), then Newton-Schulz re-unitarization
+    nvr = vr + (_dg(vr, c_re, 1, 0) - _dg(vi, c_im, 1, 0))
+    nvi = vi + (_dg(vr, c_im, 1, 0) + _dg(vi, c_re, 1, 0))
+    for _ in range(ns_steps):
+        vtv_re = _dg(nvr, nvr, 0, 0) + _dg(nvi, nvi, 0, 0)
+        vtv_im = _dg(nvr, nvi, 0, 0) - _dg(nvi, nvr, 0, 0)
+        q_re = 1.5 * eye - 0.5 * vtv_re
+        q_im = -0.5 * vtv_im
+        tr = _dg(nvr, q_re, 1, 0) - _dg(nvi, q_im, 1, 0)
+        ti = _dg(nvr, q_im, 1, 0) + _dg(nvi, q_re, 1, 0)
+        nvr, nvi = tr, ti
+
+    # ---- constraint ladder, rank/variance confined to blocks
+    w_row = jnp.maximum(lam_row, 0.0)                          # (1, L)
+    w_col = jnp.maximum(lam_col, 0.0)                          # (L, 1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 1)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (l_dim, l_dim), 0)
+    gt = jnp.logical_and(w_col > w_row, bmask > 0)
+    eq = jnp.logical_and(w_col == w_row, bmask > 0)
+    tie = jnp.logical_and(eq, lane_j < lane_i)
+    rank = jnp.sum(jnp.logical_or(gt, tie).astype(jnp.float32),
+                   axis=0, keepdims=True)                      # (1, L)
+    scale = jnp.ones_like(w_row)
+    v_tot = block_sum(w_row)                                   # (1, L)
+    w_cur = w_row
+    for rk, f in ladder:
+        head = rank < float(rk)
+        vr_sum = block_sum(jnp.where(head, w_cur, 0.0))        # (1, L)
+        need = vr_sum < v_tot * f
+        s = jnp.minimum(1.0, vr_sum / jnp.maximum(v_tot - vr_sum, 1e-30)
+                        * (1.0 / f - 1.0))
+        s = jnp.where(need, s, 1.0)
+        mult = jnp.where(head, 1.0, s)
+        w_cur = w_cur * mult
+        scale = scale * mult
+        v_tot = block_sum(w_cur)
+
+    # ---- delta = V diag(sqrt(scale)-1) V^H; W_new = W + W delta
+    coeff = jnp.sqrt(scale) - 1.0
+    vc_re = nvr * coeff
+    vc_im = nvi * coeff
+    d_re = _dg(vc_re, nvr, 1, 1) + _dg(vc_im, nvi, 1, 1)
+    d_im = _dg(vc_im, nvr, 1, 1) - _dg(vc_re, nvi, 1, 1)
+    wn_re[0] = wr + (_dg(wr, d_re, 1, 0) - _dg(wi, d_im, 1, 0))
+    wn_im[0] = wi + (_dg(wr, d_im, 1, 0) + _dg(wi, d_re, 1, 0))
+    vn_re[0] = nvr
+    vn_im[0] = nvi
+
+
+def zprox_batch_group(nr: int, lanes: int = 128) -> int:
+    """Instances packed per (lanes, lanes) tile."""
+    return max(1, lanes // nr)
+
+
+def pack_basis_w(v0_e: Pair, nr: int, lanes: int = 128) -> Pair:
+    """Pack per-instance E-convention bases (B, nr, nr) into block-diagonal
+    W-convention tiles (B/G, L, L) for :func:`fused_zprox_batch`.
+
+    W-convention = conj of the E-convention basis (see fused_zprox_t)."""
+    g = zprox_batch_group(nr, lanes)
+    b = v0_e.re.shape[0]
+    assert b % g == 0, (b, g)
+    ng, l_dim = b // g, g * nr
+    eye_g = jnp.eye(g, dtype=jnp.float32)
+    pr = v0_e.re.reshape(ng, g, nr, nr)
+    pi = -v0_e.im.reshape(ng, g, nr, nr)     # conj: E -> W convention
+    pack_r = jnp.einsum("ngij,gh->ngihj", pr, eye_g).reshape(ng, l_dim, l_dim)
+    pack_i = jnp.einsum("ngij,gh->ngihj", pi, eye_g).reshape(ng, l_dim, l_dim)
+    return Pair(pack_r, pack_i)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "nr", "ladder",
+                                             "interpret"))
+def fused_zprox_batch(z_t: Pair, v0_packed: Pair, nt: int, nr: int, ladder,
+                      interpret: bool = False):
+    """Batched fused spectral-profile Z-prox (ref:
+    inferLowRankV4_multi.m:423-485) on transposed state ``z_t`` (B, r, n).
+
+    ``v0_packed``: (B/G, L, L) block-diagonal warm basis from
+    :func:`pack_basis_w` (or a previous call's ``v_new``); it stays packed
+    across iterations — only the panel state is re-laid-out per call, and
+    XLA fuses that relayout into the surrounding elementwise ops.
+    Returns ``(z_new (B, r, n), v_new_packed)``.
+    """
+    b, r, n = z_t.re.shape
+    assert n == nt * nr
+    g = zprox_batch_group(nr)
+    assert b % g == 0, (b, g)
+    ng, l_dim, k = b // g, g * nr, r * nt
+
+    def pack(x):
+        w = x.reshape(ng, g, k, nr)
+        return w.transpose(0, 2, 1, 3).reshape(ng, k, l_dim)
+
+    def unpack(w):
+        x = w.reshape(ng, k, g, nr).transpose(0, 2, 1, 3)
+        return x.reshape(b, r, n)
+
+    kern = functools.partial(
+        _zprox_batch_kernel, nr=nr, ladder=tuple(ladder),
+        rel_gap=1e-3, max_norm=0.7, ns_steps=1)
+    wspec = pl.BlockSpec((1, k, l_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, l_dim, l_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((ng, k, l_dim), jnp.float32),
+                 jax.ShapeDtypeStruct((ng, k, l_dim), jnp.float32),
+                 jax.ShapeDtypeStruct((ng, l_dim, l_dim), jnp.float32),
+                 jax.ShapeDtypeStruct((ng, l_dim, l_dim), jnp.float32)]
+    wn_re, wn_im, vn_re, vn_im = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=[wspec, wspec, vspec, vspec],
+        out_specs=[wspec, wspec, vspec, vspec],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(pack(z_t.re), pack(z_t.im), v0_packed.re, v0_packed.im)
+    return (Pair(unpack(wn_re), unpack(wn_im)), Pair(vn_re, vn_im))

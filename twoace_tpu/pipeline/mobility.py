@@ -39,9 +39,32 @@ class MobilityTrace(NamedTuple):
     estimates: np.ndarray       #: (T, n) channel estimate per window
 
 
+def _pad_window(cb_rows, rss_amps, window: List[int], max_window: int):
+    """Static-shape sliding window: always (max_window, n) / (max_window,),
+    with the unoccupied tail as INACTIVE rows (A_i = 0, b_i = 0).
+
+    The solver treats b == 0 rows as exactly absent (y-prox = 0, effective
+    row count m_eff excludes them — see ops.cplx.magnitude_prox_rows and
+    ops.admm._normalize_problem), so the padded solve equals the dynamic
+    one while the jitted solver compiles ONCE per tracking run instead of
+    once per distinct window length (the reference re-solves per window,
+    RSS_Mobility.m:155-188; a fresh XLA trace per length would cost
+    minutes of compile to save milliseconds of solve on TPU).
+    """
+    k = len(window)
+    n = cb_rows.shape[1]
+    a = jnp.zeros((max_window, n), cb_rows.dtype)
+    b = jnp.zeros((max_window,), rss_amps.dtype)
+    idx = jnp.asarray(window)
+    a = a.at[:k].set(cb_rows[idx])
+    b = b.at[:k].set(rss_amps[idx])
+    return a, b
+
+
 def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
           mob: MobilityConfig = MobilityConfig(),
-          solver: Optional[Callable] = None) -> MobilityTrace:
+          solver: Optional[Callable] = None,
+          static_pad: bool = True) -> MobilityTrace:
     """Run the adaptive tracking loop over a probe stream.
 
     ``cb_rows``: (T * window_probes, n) probe rows in time order;
@@ -52,6 +75,10 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
     last ``max_window`` probes (ref :169-174); the reference always re-solves
     on the current window content regardless of the budget M, whose role is
     purely to be recorded/plotted — replicated here.
+
+    ``static_pad`` pads every solve to ``max_window`` rows with inactive
+    (b = 0) rows so the jitted solver traces/compiles once per run (see
+    :func:`_pad_window`); pass False for the reference's dynamic shapes.
     """
     n = cfg.n
     t_size = mob.window_probes
@@ -85,11 +112,37 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
                            mob.max_window)
         window = (window + cur)[-mob.max_window:]
 
-        idx = jnp.asarray(window)
-        h = solver(jax.random.fold_in(key, t), cb_rows[idx], rss_amps[idx])
+        if static_pad:
+            a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
+        else:
+            idx = jnp.asarray(window)
+            a_w, b_w = cb_rows[idx], rss_amps[idx]
+        h = solver(jax.random.fold_in(key, t), a_w, b_w)
         estimates[t] = np.asarray(h)
     return MobilityTrace(rss_error=errors, probe_budget=budgets,
                         estimates=estimates)
+
+
+def make_pair_solver(cfg: ArrayConfig, admm: AdmmConfig = AdmmConfig()
+                     ) -> Callable:
+    """A tracking solver running the pair-form A2 path — the on-TPU
+    configuration (complex dtypes are unsupported on some TPU runtimes).
+
+    Combined with ``static_pad`` the jitted pair solver (and its Pallas
+    megakernel, the batch-1 TPU default) compiles once per tracking run;
+    see scripts/bench_mobility.py for the measured windows/s.
+    """
+    from ..ops.cplx import Pair
+    from ..ops.pair_solver import solve_lowrank_multi_pair
+
+    def solver(k, a, b):
+        ap = Pair(jnp.real(a).astype(jnp.float32),
+                  jnp.imag(a).astype(jnp.float32))
+        res = solve_lowrank_multi_pair(k, ap, jnp.asarray(b, jnp.float32),
+                                       cfg.nt, cfg.nr, admm)
+        return np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+
+    return solver
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,7 +194,8 @@ def brownian_trace(key, cfg: ArrayConfig,
 
 def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
                     mob: SimulatedMobilityConfig = SimulatedMobilityConfig(),
-                    solver: Optional[Callable] = None) -> MobilityTrace:
+                    solver: Optional[Callable] = None,
+                    static_pad: bool = True) -> MobilityTrace:
     """Adaptive tracking with the simulated-trace budget rule.
 
     ref: RSS_Mobility_simu.m:133-163 — window t contributes its first M
@@ -149,6 +203,10 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
     scored on the *held-out remainder* of the window (probes M+1..P), and the
     budget shrinks ``M <- max(0, M - floor(M/5) - 1)`` on success or grows
     ``M <- min(m_max, M + floor(M/5) + 1)`` on failure.
+
+    The adaptive budget makes window lengths highly variable — without
+    ``static_pad`` every distinct length is a fresh solver trace+compile
+    (see :func:`_pad_window`).
     """
     n = cfg.n
     p = mob.window_probes
@@ -168,8 +226,12 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
         budgets[t] = m_budget
         start = t * p
         window = (window + list(range(start, start + m_budget)))[-mob.max_window:]
-        idx = jnp.asarray(window)
-        h = solver(jax.random.fold_in(key, t), cb_rows[idx], rss_amps[idx])
+        if static_pad:
+            a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
+        else:
+            idx = jnp.asarray(window)
+            a_w, b_w = cb_rows[idx], rss_amps[idx]
+        h = solver(jax.random.fold_in(key, t), a_w, b_w)
         estimates[t] = np.asarray(h)
 
         test = jnp.arange(start + m_budget, start + p)

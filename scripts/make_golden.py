@@ -140,6 +140,35 @@ def main():
     g["full_x"], g["full_quality"] = xr, q
     g["full_nmse_db"] = nmse_db
 
+    # ---- RECTANGULAR (Nt != Nr) ArgMinZ: pin the documented deviation ----
+    # MATLAB's ``E = reshape(Z, tx, [])`` (ref :426) chops the Rx-fastest
+    # vec into tx-sized chunks; for Nt != Nr those chunks misalign with the
+    # physical Rx runs and the prox acts on a SCRAMBLED panel.  The repo
+    # keeps the physically-meaningful Rx-row panel instead (equivalently:
+    # MATLAB's own code with the reshape leading dim set to rx), which
+    # coincides with the reference exactly when Nt == Nr (every production
+    # shape).  Both behaviors are recorded here:
+    #   z_<case>_out          MATLAB-exact (transcript, tx-chunk reshape)
+    #   z_<case>_out_rxpanel  the repo semantics (rx-chunk reshape)
+    # tests/test_golden_matlab.py asserts the repo matches _rxpanel, the
+    # transcript matches _out, and that the two genuinely differ.
+    rng2 = np.random.default_rng(20260820)
+    for name, nt, nr in (("rect8x4", 8, 4), ("rect4x8", 4, 8)):
+        n = nt * nr
+        m = 3 * n - 1          # keep the multi-level ladder branch
+        r = 6
+        x = crandn(rng2, n, r)
+        n_dual = 0.1 * crandn(rng2, n, r)
+        mu = 0.37
+        g[f"z_{name}_x"] = x
+        g[f"z_{name}_nd"] = n_dual
+        g[f"z_{name}_mu"] = mu
+        g[f"z_{name}_shape"] = np.array([nt, nr, m, n, 0])
+        g[f"z_{name}_out"] = mt.argmin_z_m(x.copy(), n_dual, mu, nt, nr,
+                                           m, n, False)
+        g[f"z_{name}_out_rxpanel"] = mt.argmin_z_m(x.copy(), n_dual, mu,
+                                                   nr, nt, m, n, False)
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **g)
     print(f"wrote {OUT} ({os.path.getsize(OUT)/1024:.0f} KiB), "

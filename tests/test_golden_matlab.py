@@ -227,3 +227,40 @@ def test_jax_full_solver_nmse_parity_with_transcript(g):
         jnp.asarray(b, jnp.float32), 8, 8, cfg)
     x_p = np.asarray(res_p.x.re) + 1j * np.asarray(res_p.x.im)
     assert nmse_db(x_p) < -35.0
+
+
+def test_rectangular_zprox_semantics_pinned(g):
+    """Nt != Nr Z-prox: the DOCUMENTED deviation from the reference.
+
+    MATLAB's ``E = reshape(Z, tx, [])`` (inferLowRankV4_multi.m:426) chops
+    the Rx-fastest vec into tx-sized chunks; for Nt != Nr those chunks
+    misalign with the physical Rx runs and the spectral profile is
+    enforced on a SCRAMBLED panel.  The repo intentionally keeps the
+    physically-meaningful Rx-row panel (identical to the reference for
+    every Nt == Nr production shape).  This test pins all three facts:
+
+      1. the transcript reproduces the committed MATLAB-exact rectangular
+         goldens (drift guard),
+      2. the JAX prox reproduces the rx-panel goldens (the repo semantics
+         == MATLAB's own code with the reshape leading dim set to rx),
+      3. the two behaviors genuinely differ on rectangular shapes (the
+         deviation is real, visible, and chosen — not an accident).
+    """
+    from twoace_tpu.ops.prox import profile_ladder, spectral_profile_prox
+
+    for name in ("rect8x4", "rect4x8"):
+        nt, nr, m, n, r1 = (int(v) for v in g[f"z_{name}_shape"])
+        x, nd, mu = (g[f"z_{name}_x"], g[f"z_{name}_nd"],
+                     float(g[f"z_{name}_mu"]))
+        # 1. transcript drift guard (MATLAB-exact, tx-chunk reshape)
+        z_m = mt.argmin_z_m(x.copy(), nd, mu, nt, nr, m, n, bool(r1))
+        np.testing.assert_allclose(z_m, g[f"z_{name}_out"], atol=1e-12)
+        # 2. repo == rx-panel golden
+        lad = profile_ladder(nt, nr, m, n, bool(r1))
+        z_j = np.asarray(spectral_profile_prox(
+            jnp.asarray(x + nd / mu, jnp.complex128), nt, nr, lad))
+        np.testing.assert_allclose(z_j, g[f"z_{name}_out_rxpanel"],
+                                   atol=1e-8, err_msg=name)
+        # 3. the deviation is real
+        assert np.abs(g[f"z_{name}_out"]
+                      - g[f"z_{name}_out_rxpanel"]).max() > 1e-2

@@ -52,12 +52,30 @@ def flops_per_iter():
 
 
 def make_step_variant(a, u_mat, ladder, mode: str):
-    from twoace_tpu.ops.cplx import (Pair, admm_iteration_pair_t,
+    from twoace_tpu.ops.cplx import (Pair, admm_iteration_batch,
+                                     admm_iteration_pair_t,
                                      magnitude_prox_cols, matmul)
 
     a_conj = Pair(a.re, -a.im)
     a_t = Pair(a.re.T, a.im.T)
     u_conj = Pair(u_mat.re, -u_mat.im)
+
+    if mode in ("batchz_pallas", "batchz_xla"):
+        # hand-batched step (no vmap): lane-packed block-diagonal Z-prox
+        # kernel vs the vmapped XLA chain, same everything else
+        def run_batched(b, state):
+            step_b = admm_iteration_batch(
+                a, b, u_mat, B.NT, B.NR, ladder,
+                zprox_mode=("pallas_batch" if mode == "batchz_pallas"
+                            else "xla"))
+
+            def body(s, _):
+                return step_b(s), None
+
+            state, _ = jax.lax.scan(body, state, None, length=B.ITERS)
+            return jnp.sum(state[0].re[:, 0, 0]) + jnp.sum(state[0].im[:, 0, 0])
+
+        return jax.jit(run_batched)
 
     def run(b, state):
         if mode in ("full_xla", "full_pallas"):
@@ -126,20 +144,31 @@ def main():
              jnp.full((B.BATCH,), 1e-3, jnp.float32),
              basis0)
 
+    from twoace_tpu.ops.pallas.kernels import pack_basis_w
+
+    # hand-batched variants: mu (B, 1, 1); basis packed block-diagonal
+    state_bz = (state[0], state[1], state[2], state[3],
+                state[4][:, None, None], pack_basis_w(basis0, B.NR))
+    state_bx = (state[0], state[1], state[2], state[3],
+                state[4][:, None, None], basis0)
+
     fl = flops_per_iter()
     # min HBM traffic per iteration per instance (fp32 pairs): read+write
     # y, m (r x m), z, n (r x n); A and U stay resident across the batch
     state_bytes = 4 * 2 * 2 * (B.R * B.M + B.R * B.N) * 2
     results = {}
-    for name in ("full_xla", "full_pallas", "no_zprox", "matmul_only"):
+    for name in ("full_xla", "full_pallas", "no_zprox", "matmul_only",
+                 "batchz_xla", "batchz_pallas"):
         step = make_step_variant(a, u_mat, ladder, name)
+        st = {"batchz_pallas": state_bz, "batchz_xla": state_bx}.get(
+            name, state)
         t0 = time.perf_counter()
-        float(step(b, state))
+        float(step(b, st))
         compile_s = time.perf_counter() - t0
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            float(step(b, state))
+            float(step(b, st))
         dt = (time.perf_counter() - t0) / reps
         rate = B.BATCH * B.ITERS / dt
         entry = {
@@ -168,7 +197,7 @@ def main():
         "variants": results,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_breakdown.json")
+        os.path.abspath(__file__))), "BENCH_breakdown_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
 

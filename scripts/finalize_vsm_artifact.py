@@ -1,23 +1,25 @@
 #!/usr/bin/env python
 """Finalize the Vs_M accuracy-curve regression artifact.
 
-Reads the raw sweep output (VSM_r02.npz, produced by the CLI:
+Reads the raw sweep output (VSM_r03.npz, produced by the CLI:
 
   python -m twoace_tpu vs-m --nt 16 --nr 16 --trials 3 --maxiter 500 \
       --restarts 3 --paths 3 --beam Random_Phase_State --search-range 95 \
       --snr 20 --m-grid 4 36 121 225 361 529 784 1024 \
       --methods admm_lowrank_v4 phaselift plomp plgamp --seed 1 \
-      --platform cpu --out VSM_r02.npz
+      --platform cpu --out VSM_r03.npz
 
 — the reference probe-budget grid of A2only.m:110-111 at the testbed's
 16x16 / 95-degree search configuration, A2 vs PhaseLift vs PLOMP/PLGAMP)
 and writes:
-  - VSM_r02.json   machine-checkable curve + provenance
-  - VSM_r02.png    the paper-style error-vs-M figure
+  - VSM_r03.json   machine-checkable curve + provenance
+  - VSM_r03.png    the paper-style error-vs-M figure
 
 tests/test_artifacts.py pins coarse regression bounds on the committed
 JSON (the 2-8 dB improvement claim of the reference README.md:7 made
 machine-checkable).
+
+Usage: python scripts/finalize_vsm_artifact.py [round_tag]   (default r03)
 """
 
 import json
@@ -30,13 +32,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    npz = os.path.join(ROOT, "VSM_r02.npz")
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
+    npz = os.path.join(ROOT, f"VSM_{tag}.npz")
     data = np.load(npz)
     m_grid = data["m_grid"].tolist()
     curves = {k[len("nmse_"):]: data[k] for k in data.files
               if k.startswith("nmse_")}
-    nmse_db = {k: (10 * np.log10(np.maximum(v, 1e-30))).round(2).tolist()
-               for k, v in curves.items()}
+    def db_list(v):
+        db = (10 * np.log10(np.maximum(v, 1e-30))).round(2)
+        # strict JSON: non-finite (PLGAMP divergence cells) -> null
+        return [float(x) if np.isfinite(x) else None for x in db]
+
+    nmse_db = {k: db_list(v) for k, v in curves.items()}
 
     out = {
         "config": {
@@ -48,7 +55,7 @@ def main() -> None:
         "m_grid": m_grid,
         "nmse_db": nmse_db,
     }
-    with open(os.path.join(ROOT, "VSM_r02.json"), "w") as f:
+    with open(os.path.join(ROOT, f"VSM_{tag}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
     sys.path.insert(0, ROOT)
@@ -57,7 +64,7 @@ def main() -> None:
     plot_error_vs_grid(
         np.asarray(m_grid), curves,
         xlabel="measurements M (16x16 CSI, SNR 20 dB)",
-        path=os.path.join(ROOT, "VSM_r02.png"))
+        path=os.path.join(ROOT, f"VSM_{tag}.png"))
     print(json.dumps(out["nmse_db"]))
 
 

@@ -1,0 +1,79 @@
+"""Regression bounds on committed accuracy artifacts.
+
+``VSM_r03.json`` (produced by the CLI command documented in
+``scripts/finalize_vsm_artifact.py``) is the repo's machine-checkable
+version of the reference's headline claim — 2ACE reduces CSI estimation
+error by 2-8 dB vs the compressive phase-retrieval baselines
+(/root/reference/README.md:7).  These tests pin the committed curve so a
+solver regression that erodes the accuracy advantage fails CI rather than
+silently shipping.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VSM = os.path.join(ROOT, "VSM_r03.json")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(VSM),
+                                reason="VSM_r03.json not generated yet")
+
+
+@pytest.fixture(scope="module")
+def vsm():
+    with open(VSM) as f:
+        return json.load(f)
+
+
+def test_vsm_m_grid_is_reference_grid(vsm):
+    """The probe-budget grid is the reference's (A2only.m:110-111)."""
+    assert vsm["m_grid"] == [4, 36, 121, 225, 361, 529, 784, 1024]
+
+
+#: the magnitude-only compressive phase-retrieval baselines the reference's
+#: 2-8 dB claim compares against (perfect/noisy-phase CS are oracle-phase
+#: baselines of a different measurement class and excluded, like the paper)
+PR_BASELINES = ("phaselift", "plomp", "plgamp")
+
+
+def test_vsm_a2_beats_best_baseline_at_high_m(vsm):
+    """A2's NMSE advantage over the best phase-retrieval baseline is
+    >= 2 dB at every M >= 529 and >= 1 dB at M = 361 (the measured lower
+    edge of the reference's 2-8 dB claim, reference README.md:7; measured
+    r03 advantages: 1.5 / 2.6 / 3.8 / 3.7 dB at M = 361/529/784/1024)."""
+    curves = vsm["nmse_db"]
+
+    def arr(v):
+        return np.array([np.nan if x is None else float(x) for x in v])
+
+    a2 = arr(curves["admm_lowrank_v4"])
+    baselines = [arr(curves[k]) for k in PR_BASELINES if k in curves]
+    assert baselines, "no phase-retrieval baseline curves in artifact"
+    # PLGAMP reports NaN where EMBGAMP diverges (ref fallback territory)
+    best_baseline = np.nanmin(np.stack(baselines), axis=0)
+    m = np.asarray(vsm["m_grid"])
+    adv = best_baseline - a2
+    sel2 = m >= 529
+    assert (adv[sel2] >= 2.0).all(), (
+        f"A2 advantage dropped below 2 dB: {dict(zip(m[sel2], adv[sel2].round(2)))}")
+    assert adv[m == 361][0] >= 1.0, adv.tolist()
+
+
+def test_vsm_a2_absolute_accuracy(vsm):
+    """A2 reaches <= -10 dB NMSE by M = 529 and <= -19 dB at M = 1024
+    (SNR 20 dB, 3-path; measured r03: -10.3 / -19.7)."""
+    curves = vsm["nmse_db"]
+    m = np.asarray(vsm["m_grid"])
+    a2 = np.asarray(curves["admm_lowrank_v4"], float)
+    assert a2[m >= 529].max() <= -10.0, a2.tolist()
+    assert a2[m == 1024][0] <= -19.0, a2.tolist()
+
+
+def test_vsm_curves_monotone_trend(vsm):
+    """A2 error does not increase by more than 3 dB anywhere along the
+    M grid (sanity: more measurements never make recovery much worse)."""
+    a2 = np.asarray(vsm["nmse_db"]["admm_lowrank_v4"])
+    assert (np.diff(a2) <= 3.0).all(), a2.tolist()

@@ -155,46 +155,71 @@ def row_sharded_point():
 
 
 def communication_model():
-    """Analytic pod-scale prediction from per-iteration psum traffic."""
+    """Analytic pod-scale prediction from per-iteration psum traffic.
+
+    Modeled at the PRODUCTION 16x16 shape (n = 256, m = 1024, r = 20 —
+    the BENCH workload), not the small CPU workload measured above.
+    """
+    n_prod, r_prod = 256, 20
     # per-iteration row-sharded collectives (sharded_admm): one psum of the
     # (r, n) complex partial A^H(...) + O(1) scalar norm psums
-    psum_bytes = R * N * 2 * 4          # fp32 pair
-    # per-iteration per-chip compute at the measured full-solver rate
-    # (BENCH_breakdown_r03 full_xla, batch form): iter wall ~= 1/375k s per
-    # instance-iteration at batch 256 => per-iteration compute per chip for
-    # ONE row-sharded instance ~= total-iter FLOPs / chip fp32 rate
-    flops_iter = 71_958_528             # BENCH_breakdown flops_per_iter
-    chip_fp32_flops = 27e12             # measured sustained (full_xla)
+    psum_bytes = r_prod * n_prod * 2 * 4          # fp32 pair = 40 KiB
+    # per-iteration compute at the measured sustained full-solver rate
+    # (BENCH_breakdown full_xla: 27 TFLOP/s, 71.96 MFLOP per iteration)
+    flops_iter = 71_958_528
+    chip_fp32_flops = 27e12
     ici_bw = 186e9                      # v5e ICI per-link bytes/s
     ici_lat = 1e-6                      # per-hop latency, conservative
-    pts = {}
+    single = {}
+    batched = {}
+    batch_per_chip = 64                 # batched row-sharding: instances
     for d in (2, 4, 8, 16):
-        t_comp = flops_iter / chip_fp32_flops / d
-        # ring all-reduce: 2*(d-1)/d * bytes over the slowest link
         t_comm = 2 * (d - 1) / d * psum_bytes / ici_bw + 2 * ici_lat
-        eff = t_comp * d / (t_comp * d + t_comm * d)  # vs ideal compute
-        pts[str(d)] = {
-            "t_compute_us": round(t_comp * 1e6, 2),
+        # ONE instance, rows split d ways
+        t1 = flops_iter / chip_fp32_flops
+        single[str(d)] = {
+            "t_compute_us": round(t1 / d * 1e6, 2),
             "t_psum_us": round(t_comm * 1e6, 2),
-            "predicted_efficiency": round(
-                (flops_iter / chip_fp32_flops)
-                / (d * (t_comp + t_comm)), 3),
+            "predicted_efficiency": round(t1 / (d * (t1 / d + t_comm)), 3),
         }
-        del eff
+        # a BATCH of instances row-sharded together: the psum batches too
+        # (bytes scale with batch, amortizing the latency term)
+        tb = batch_per_chip * flops_iter / chip_fp32_flops
+        t_comm_b = (2 * (d - 1) / d * batch_per_chip * psum_bytes / ici_bw
+                    + 2 * ici_lat)
+        batched[str(d)] = {
+            "t_compute_us": round(tb / d * 1e6, 2),
+            "t_psum_us": round(t_comm_b * 1e6, 2),
+            "predicted_efficiency": round(tb / (d * (tb / d + t_comm_b)), 3),
+        }
     return {
-        "psum_bytes_per_iter": psum_bytes,
+        "psum_bytes_per_iter_per_instance": psum_bytes,
         "assumptions": {"flops_per_iter": flops_iter,
                         "chip_sustained_fp32_flops": chip_fp32_flops,
                         "ici_bytes_per_s_per_link": ici_bw,
-                        "ici_latency_s": ici_lat},
-        "row_sharding_prediction": pts,
+                        "ici_latency_s": ici_lat,
+                        "batched_row_sharding_batch_per_chip":
+                            batch_per_chip},
+        "row_sharding_single_instance": single,
+        "row_sharding_batched": batched,
         "batch_sharding_prediction": "independent instances, zero "
             "per-iteration collectives -> efficiency ~1.0 at any scale "
             "(only the final gather crosses chips)",
-        "note": "the (r, n) psum is 40 KB/iter; at >= 27 GFLOP-equiv "
-                "per-chip compute slices the row-sharded solver stays "
-                "compute-bound through d = 16 (predicted efficiency "
-                "computed as T1 / (d * Td) with T1 = flops/chip_rate)",
+        "note": "honest conclusion: a SINGLE 16x16 instance is too small "
+            "to row-shard profitably — per-chip compute (~2.7 us/iter) is "
+            "comparable to psum latency, so efficiency collapses with d "
+            "(0.38 at d=2 down to 0.07 at d=16).  Batched row sharding "
+            "(strong-scaling one 64-instance batch) fares better — 0.84 "
+            "at d=2 — but still decays (0.27 at d=16) because the psum "
+            "bytes stay fixed while per-chip compute shrinks.  The "
+            "production pod-scale strategy for 16x16 is therefore BATCH "
+            "sharding: zero per-iteration collectives, efficiency ~1.0 "
+            "at any scale, demonstrated at 0.97 by the two-process point "
+            "and 0.82 by the in-process 2-device mesh (the gap between "
+            "those two IS the XLA:CPU shared thread pool, not the "
+            "algorithm).  Row sharding is reserved for shapes whose "
+            "per-chip slice dwarfs the psum (36x36, m = 4-5k, or very "
+            "large batched slabs).",
     }
 
 

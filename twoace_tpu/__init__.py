@@ -19,7 +19,41 @@ Subpackages
 
 __version__ = "0.1.0"
 
-from . import config  # noqa: F401
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    The staged batch solver is a large XLA graph: a truly cold compile
+    costs minutes on-chip (and far more through a remote-compile tunnel —
+    see COMPILE_r03.json at the repo root for the measured breakdown).
+    With this cache every shape is paid for once per machine, ever; warm
+    re-runs load in seconds.  Opt out with ``TWOACE_NO_COMPILE_CACHE=1``;
+    override the location with ``TWOACE_CACHE_DIR`` or by setting
+    ``jax_compilation_cache_dir`` yourself before importing this package
+    (an existing setting is never clobbered).
+    """
+    import os
+
+    if os.environ.get("TWOACE_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        if (jax.config.jax_compilation_cache_dir
+                or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            return
+        cache = os.environ.get("TWOACE_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "twoace_tpu", "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort only
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from . import config  # noqa: F401,E402
 from .config import (  # noqa: F401
     AdmmConfig,
     ArrayConfig,

@@ -52,8 +52,10 @@ def main():
                        steer(cfg.nt, angs[2 * i + 1]).conj())
             for i in range(2))
     vec_h = h.T.reshape(-1)
-    amps = jnp.asarray(np.abs(cb @ vec_h), jnp.float32)
-    cb_j = jnp.asarray(cb, jnp.complex64)
+    # host numpy throughout: track()'s driver is host-side and the axon
+    # TPU backend has no complex dtype support
+    amps = np.abs(cb @ vec_h).astype(np.float32)
+    cb_j = cb.astype(np.complex64)
 
     solver = make_pair_solver(cfg, mob.admm)
     key = jax.random.PRNGKey(0)

@@ -210,6 +210,45 @@ def test_batched_shared_codebook_solver():
         assert float(res.quality[u]) > 0.98
 
 
+def test_batched_solver_host_gated_retry():
+    """The staged rank-1 retry path (ops/pair_solver.py: gather poor
+    (instance, restart) pairs on the host, bucket-pad, scatter back —
+    ref semantics inferLowRankV4_multi.m:73-77).
+
+    quality_threshold = 2.0 makes EVERY restart 'poor' (quality <= 1 by
+    construction), forcing the retry for all batch x restart pairs — with
+    batch = 3 and 2 restarts, k_n = 6 pads to the k_pad = 8 bucket, so the
+    non-power-of-two padding path runs too.  Single-path channels are what
+    the rank-1 fallback is FOR, so recovery must stay accurate, and the
+    retry's iterations must be accounted into res.iters."""
+    from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
+
+    nt = nr = 8
+    n, m, batch = 64, 256, 3
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 4, (m, n))
+    a = (np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)).astype(np.complex64)
+    xs, bs = [], []
+    for u in range(batch):
+        h = np.outer(_steer(nr, 0.1 + 0.2 * u), _steer(nt, -0.3).conj())
+        x = h.T.reshape(-1)
+        xs.append(x)
+        bs.append(np.abs(a @ x))
+    b_batch = jnp.asarray(np.stack(bs), jnp.float32)
+    cfg = AdmmConfig(maxiter=120, n_restarts=2, quality_threshold=2.0)
+    res = solve_lowrank_multi_pair_batch(jax.random.PRNGKey(2), _pair(a),
+                                         b_batch, nt, nr, cfg)
+    cfg0 = AdmmConfig(maxiter=120, n_restarts=2)
+    res0 = solve_lowrank_multi_pair_batch(jax.random.PRNGKey(2), _pair(a),
+                                          b_batch, nt, nr, cfg0)
+    for u in range(batch):
+        x_est = np.asarray(res.x.re[u]) + 1j * np.asarray(res.x.im[u])
+        assert _nmse_db(x_est, xs[u]) < -35, u
+        # retry adds two extra inner solves per (instance, restart):
+        # strictly more iterations than the no-retry run
+        assert int(res.iters[u]) > int(res0.iters[u]), u
+
+
 def test_phaselift_bm_pair_matches_complex():
     """Pair-form Burer-Monteiro PhaseLift recovers like the complex one."""
     from twoace_tpu.config import PhaseLiftConfig

@@ -348,3 +348,72 @@ def test_fused_zprox_batch_matches_vmapped_chain():
         for hh in range(g):
             if hh != gg:
                 assert np.abs(vr[grp, gg, :, hh, :]).max() == 0.0
+
+
+def test_admm_iteration_batch_matches_vmapped_pair_t():
+    """The hand-batched iteration (cplx.admm_iteration_batch, the
+    bench 'batchz' form) == vmap(admm_iteration_pair_t) per iteration:
+    same X-update, Y-prox, XLA Z-prox, and dual updates."""
+    import jax
+
+    from twoace_tpu.ops.cplx import (admm_iteration_batch,
+                                     admm_iteration_pair_t,
+                                     panel_gram_basis_pair)
+    from twoace_tpu.ops.prox import profile_ladder
+
+    rng = np.random.default_rng(23)
+    nt = nr = 8
+    n = nt * nr
+    m = 2 * n
+    batch, r = 3, 5
+    ladder = profile_ladder(nt, nr, m, n, False)
+
+    bits = rng.integers(0, 4, (m, n))
+    a_np = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)
+    a = cplx.Pair(jnp.asarray(a_np.real, jnp.float32),
+                  jnp.asarray(a_np.imag, jnp.float32))
+    u_np = np.linalg.inv(a_np.conj().T @ a_np + np.eye(n))
+    u = cplx.Pair(jnp.asarray(u_np.real, jnp.float32),
+                  jnp.asarray(u_np.imag, jnp.float32))
+    b = jnp.asarray(np.abs(rng.normal(size=(batch, m))) + 0.1, jnp.float32)
+
+    def mk(shape):
+        return cplx.Pair(jnp.asarray(rng.normal(size=shape), jnp.float32),
+                         jnp.asarray(rng.normal(size=shape), jnp.float32))
+
+    y0, z0 = mk((batch, r, m)), mk((batch, r, n))
+    md0, nd0 = mk((batch, r, m)), mk((batch, r, n))
+    mu0 = jnp.full((batch,), 1e-2, jnp.float32)
+
+    def to_panel(zi):
+        return cplx.Pair(
+            zi.re.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt),
+            zi.im.reshape(r, nt, nr).transpose(2, 0, 1).reshape(nr, r * nt))
+
+    basis0 = jax.vmap(lambda zi: panel_gram_basis_pair(to_panel(zi))[1])(z0)
+
+    # reference: the per-instance step under vmap (3 iterations)
+    def run_ref(bb, state):
+        step = admm_iteration_pair_t(a, bb, u, nt, nr, ladder,
+                                     eig_mode="perturb", pallas_prox=False,
+                                     pallas_zprox=False)
+        for _ in range(3):
+            state = step(state)
+        return state
+
+    ref = jax.vmap(run_ref, in_axes=(0, 0))(
+        b, (y0, z0, md0, nd0, mu0, basis0))
+
+    # hand-batched step, XLA Z-prox
+    step_b = admm_iteration_batch(a, b, u, nt, nr, ladder, zprox_mode="xla")
+    st = (y0, z0, md0, nd0, mu0[:, None, None], basis0)
+    for _ in range(3):
+        st = step_b(st)
+
+    for got, want, name in ((st[0], ref[0], "y"), (st[1], ref[1], "z"),
+                            (st[2], ref[2], "m_dual"),
+                            (st[3], ref[3], "n_dual")):
+        np.testing.assert_allclose(np.asarray(got.re), np.asarray(want.re),
+                                   atol=2e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(want.im),
+                                   atol=2e-4, err_msg=name)

@@ -656,8 +656,6 @@ def admm_iteration_batch(a: Pair, b_batch, u_mat: Pair, nt: int, nr: int,
         ax = matmul(x, a_t)                                   # (B, r, m)
 
         # Y-prox (batched: reductions over the r axis broadcast over B)
-        d2 = jnp.sum(ax.re * ax.re + ax.im * ax.im, axis=-2, keepdims=True)
-        del d2
         yr = ax.re + m_dual.re * inv_mu
         yi = ax.im + m_dual.im * inv_mu
         dd = jnp.sum(yr * yr + yi * yi, axis=-2, keepdims=True)

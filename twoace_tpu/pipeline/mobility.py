@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from ..config import AdmmConfig, ArrayConfig
 from ..ops.admm import solve_lowrank_multi
-from ..utils.metrics import rss_prediction_error
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,14 +49,19 @@ def _pad_window(cb_rows, rss_amps, window: List[int], max_window: int):
     once per distinct window length (the reference re-solves per window,
     RSS_Mobility.m:155-188; a fresh XLA trace per length would cost
     minutes of compile to save milliseconds of solve on TPU).
+
+    Host-side numpy on purpose: the tracking driver is sequential control
+    (like the reference's loop) and must not place complex arrays on the
+    accelerator — some TPU runtimes have no complex dtype support; the
+    solver callback owns all device work.
     """
     k = len(window)
     n = cb_rows.shape[1]
-    a = jnp.zeros((max_window, n), cb_rows.dtype)
-    b = jnp.zeros((max_window,), rss_amps.dtype)
-    idx = jnp.asarray(window)
-    a = a.at[:k].set(cb_rows[idx])
-    b = b.at[:k].set(rss_amps[idx])
+    a = np.zeros((max_window, n), cb_rows.dtype)
+    b = np.zeros((max_window,), rss_amps.dtype)
+    idx = np.asarray(window)
+    a[:k] = cb_rows[idx]
+    b[:k] = rss_amps[idx]
     return a, b
 
 
@@ -82,14 +86,19 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
     """
     n = cfg.n
     t_size = mob.window_probes
+    # host-side driver state: never places complex arrays on the device
+    # (complex-free TPU runtimes); the solver callback owns device work
+    cb_rows = np.asarray(cb_rows)
+    rss_amps = np.asarray(rss_amps)
     total = cb_rows.shape[0]
     n_windows = total // t_size
 
     if solver is None:
         def solver(k, a, b):
-            return solve_lowrank_multi(k, a, b, cfg.nt, cfg.nr, mob.admm).x
+            return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
+                                       cfg.nt, cfg.nr, mob.admm).x
 
-    h = jnp.zeros((n,), cb_rows.dtype)
+    h = np.zeros((n,), cb_rows.dtype)
     m_budget = 0
     window: List[int] = []
 
@@ -100,10 +109,11 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
     for t in range(n_windows):
         budgets[t] = m_budget
         cur = list(range(t * t_size, (t + 1) * t_size))
-        cb_cur = cb_rows[jnp.asarray(cur)]
-        rss_cur = rss_amps[jnp.asarray(cur)]
+        cb_cur = cb_rows[np.asarray(cur)]
+        rss_cur = rss_amps[np.asarray(cur)]
 
-        err = float(rss_prediction_error(h, cb_cur, rss_cur))
+        rss_eval = np.abs(cb_cur @ h)                    # Evaluate_rss.m:1-7
+        err = float(np.mean(np.abs(rss_eval - rss_cur) / rss_cur))
         errors[t] = err
         if err < mob.threshold:
             m_budget = 0
@@ -115,10 +125,10 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
         else:
-            idx = jnp.asarray(window)
+            idx = np.asarray(window)
             a_w, b_w = cb_rows[idx], rss_amps[idx]
-        h = solver(jax.random.fold_in(key, t), a_w, b_w)
-        estimates[t] = np.asarray(h)
+        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w))
+        estimates[t] = h
     return MobilityTrace(rss_error=errors, probe_budget=budgets,
                         estimates=estimates)
 
@@ -136,9 +146,11 @@ def make_pair_solver(cfg: ArrayConfig, admm: AdmmConfig = AdmmConfig()
     from ..ops.pair_solver import solve_lowrank_multi_pair
 
     def solver(k, a, b):
-        ap = Pair(jnp.real(a).astype(jnp.float32),
-                  jnp.imag(a).astype(jnp.float32))
-        res = solve_lowrank_multi_pair(k, ap, jnp.asarray(b, jnp.float32),
+        a = np.asarray(a)                 # split re/im on the HOST: the
+        ap = Pair(jnp.asarray(a.real, jnp.float32),   # complex array must
+                  jnp.asarray(a.imag, jnp.float32))   # never hit the device
+        res = solve_lowrank_multi_pair(k, ap,
+                                       jnp.asarray(np.asarray(b), jnp.float32),
                                        cfg.nt, cfg.nr, admm)
         return np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
 
@@ -210,11 +222,14 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
     """
     n = cfg.n
     p = mob.window_probes
+    cb_rows = np.asarray(cb_rows)         # host-side driver (see track())
+    rss_amps = np.asarray(rss_amps)
     n_windows = cb_rows.shape[0] // p
 
     if solver is None:
         def solver(k, a, b):
-            return solve_lowrank_multi(k, a, b, cfg.nt, cfg.nr, mob.admm).x
+            return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
+                                       cfg.nt, cfg.nr, mob.admm).x
 
     m_budget = mob.m_init
     window: List[int] = []
@@ -229,13 +244,15 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
         else:
-            idx = jnp.asarray(window)
+            idx = np.asarray(window)
             a_w, b_w = cb_rows[idx], rss_amps[idx]
-        h = solver(jax.random.fold_in(key, t), a_w, b_w)
-        estimates[t] = np.asarray(h)
+        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w))
+        estimates[t] = h
 
-        test = jnp.arange(start + m_budget, start + p)
-        err = float(rss_prediction_error(h, cb_rows[test], rss_amps[test]))
+        test = np.arange(start + m_budget, start + p)
+        rss_eval = np.abs(cb_rows[test] @ h)
+        err = float(np.mean(np.abs(rss_eval - rss_amps[test])
+                            / rss_amps[test]))
         errors[t] = err
         if err < mob.threshold:
             m_budget = max(0, m_budget - m_budget // 5 - 1)

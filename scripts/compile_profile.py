@@ -117,7 +117,8 @@ def main():
         "first_pass": (ps._batch_first_pass,
                        (k_inits, a, b_batch, trains, tests, lad_tr), stat),
         "retry_k16": (ps._batch_retry,
-                      (a, b_sel, train_sel, test_sel, xs_sel, lad_tr_r1),
+                      (a, b_sel, train_sel, test_sel, xs_sel,
+                       jnp.zeros((k_pad,), jnp.int32), trains, lad_tr_r1),
                       stat),
         "refine": (ps._batch_refine,
                    (a, b_batch, x, q, it_sum, r1_flags, lad_full,

@@ -253,7 +253,12 @@ def test_solve_lowrank_padding_recovers_channel():
                              / np.linalg.norm(xt) ** 2)
 
     n_dyn = nmse_db(solve_lowrank_multi(key, a, b, nt, nr, cfg).x)
-    n_pad = nmse_db(solve_lowrank_multi(key, a_p, b_p, nt, nr, cfg).x)
+    # ladder_m = active count: without it the padded row count crosses the
+    # m >= 3n overdetermined test (128 >= 108 but 96 < 108) and silently
+    # selects a different constraint ladder than the dynamic solve
+    # (profile_ladder, ref inferLowRankV4_multi.m:447)
+    n_pad = nmse_db(solve_lowrank_multi(key, a_p, b_p, nt, nr, cfg,
+                                        ladder_m=m).x)
     # the padded solve draws its train/test splits over the padded row
     # count, so the two runs are different Monte-Carlo draws of the same
     # problem — parity is "both recover", not identical iterates (the
@@ -261,3 +266,33 @@ def test_solve_lowrank_padding_recovers_channel():
     # padding_is_exact, where no splits are involved)
     assert n_pad < -20.0, n_pad
     assert n_dyn < -15.0, n_dyn
+
+
+def test_ladder_m_snap_preserves_ladder_selection():
+    """pipeline.mobility._ladder_m_for_window: the snapped canonical count
+    always selects the SAME constraint ladders (full-data and train-split)
+    as the true active count — with at most 3 distinct values per run."""
+    import math as _math
+
+    from twoace_tpu.ops.prox import profile_ladder
+    from twoace_tpu.pipeline.mobility import _ladder_m_for_window
+
+    nt = nr = 4
+    n = nt * nr                      # 3n = 48 sits inside the sweep range
+    frac = 0.95
+    for m_padded in (60, 80, 200):
+        seen = set()
+        for m_active in range(5, m_padded + 1, 3):
+            snap = _ladder_m_for_window(m_active, m_padded, n, frac)
+            lm = m_padded if snap is None else snap
+            seen.add(lm)
+            for use_r1 in (False, True):
+                assert profile_ladder(nt, nr, lm, n, use_r1) == \
+                    profile_ladder(nt, nr, m_active, n, use_r1), \
+                    (m_active, m_padded, lm)
+                tr_lm = _math.floor(lm * frac)
+                tr_act = _math.floor(m_active * frac)
+                assert profile_ladder(nt, nr, tr_lm, n, use_r1) == \
+                    profile_ladder(nt, nr, tr_act, n, use_r1), \
+                    (m_active, m_padded, lm)
+        assert len(seen) <= 3, seen

@@ -46,7 +46,6 @@ def _enable_persistent_compile_cache() -> None:
             os.path.expanduser("~"), ".cache", "twoace_tpu", "xla")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort only
         pass
 

@@ -255,13 +255,17 @@ def _make_prox(kind: str, nt: int, nr: int, m: int, n: int,
 
 
 def _impl(a, b, xs, nt, nr, use_rank_one: bool, cfg: AdmmConfig,
-          prox_kind: str, eig_backend: str):
+          prox_kind: str, eig_backend: str, ladder_m=None):
     """inferLowRankImpl: over-param solve -> orthonormalize -> refinement.
 
     ref: inferLowRankV4_multi.m:111-271.  Returns a single-column solution.
+    ``ladder_m`` overrides the row count used for ladder selection
+    (active rows of a padded problem; see solve_lowrank_multi).
     """
     m, n = a.shape
-    prox = _make_prox(prox_kind, nt, nr, m, n, use_rank_one, cfg, eig_backend)
+    lm = m if ladder_m is None else ladder_m
+    prox = _make_prox(prox_kind, nt, nr, lm, n, use_rank_one, cfg,
+                      eig_backend)
     u_mat = _precompute_u(a)
     kw = dict(mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter)
@@ -276,14 +280,16 @@ def _impl(a, b, xs, nt, nr, use_rank_one: bool, cfg: AdmmConfig,
     return x, y, converged
 
 
-def _refine_cond(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind, eig_backend):
+def _refine_cond(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind, eig_backend,
+                 ladder_m=None):
     """Full-data refinement with traced use_rank_one flag (ref :92,:100)."""
     m, n = a.shape
+    lm = m if ladder_m is None else ladder_m
     kw = dict(mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter)
 
     def run(use_r1):
-        prox = _make_prox(prox_kind, nt, nr, m, n, use_r1, cfg, eig_backend)
+        prox = _make_prox(prox_kind, nt, nr, lm, n, use_r1, cfg, eig_backend)
         x, y, _ = infer_admm(a, b, x0, scale_by_row=True, prox=prox, **kw)
         return x, y
 
@@ -314,12 +320,13 @@ def _split(key, m, frac, use_floor=True):
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
-                                   "eig_backend", "n_restarts"))
+                                   "eig_backend", "n_restarts", "ladder_m"))
 def solve_lowrank_multi(key, a, b, nt: int, nr: int,
                         cfg: AdmmConfig = AdmmConfig(),
                         prox_kind: str = "spectral_profile",
                         eig_backend: str = "jacobi",
-                        n_restarts: Optional[int] = None) -> AdmmResult:
+                        n_restarts: Optional[int] = None,
+                        ladder_m: Optional[int] = None) -> AdmmResult:
     """The 2ACE "A2" solver (ADMMLowRankV4): inferLowRankV4_multi.
 
     ref: inferLowRankV4_multi.m:5-109.  ``n_restarts=1`` reproduces the
@@ -332,10 +339,20 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
         presumably unintended.
       - PRNG streams are JAX threefry, not MATLAB twister, so train/test
         splits differ realization-by-realization.
+
+    Rows with ``b == 0`` are inactive padding BY CONTRACT (A rows zero
+    too; real measured amplitudes are strictly positive, A2only.m:130-139).
+    ``ladder_m`` gives the ACTIVE row count of a padded problem so the
+    constraint-ladder selection (the ``m >= 3n`` test,
+    inferLowRankV4_multi.m:447) follows the active shape; snap it to the
+    branch boundary to avoid per-length recompiles
+    (pipeline.mobility._ladder_m_for_window).
     """
     n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
     m, n = a.shape
     r = min(cfg.rank, m, n)
+    lm_full = m if ladder_m is None else ladder_m
+    lm_tr = int(math.floor(lm_full * cfg.cc_frac))
     a, b, a_norm, b_norm = _normalize_problem(a, b, cfg.tol_abs)
     thr = cfg.quality_threshold
 
@@ -349,7 +366,7 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
 
         xs = spectral_initialize(a_tr, b_tr, r, key=k_init)
         x, y, _ = _impl(a_tr, b_tr, xs, nt, nr, False, cfg, prox_kind,
-                        eig_backend)
+                        eig_backend, ladder_m=lm_tr)
         q = _quality(a_te, b_te, x)
 
         # rank-1 fallback when quality is poor (ref :73-77).  The nuclear
@@ -359,7 +376,7 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
 
             def retry():
                 xr, yr, _ = _impl(a_tr, b_tr, xs, nt, nr, True, cfg,
-                                  prox_kind, eig_backend)
+                                  prox_kind, eig_backend, ladder_m=lm_tr)
                 return xr, yr, _quality(a_te, b_te, xr)
 
             x, y, q = lax.cond(poor, retry, lambda: (x, y, q))
@@ -380,7 +397,7 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
 
     # full-data refinement with similarity rollback (ref :89-101)
     x_ref, y_ref = _refine_cond(a, b, x_max[:, None], nt, nr, rank_one, cfg,
-                                prox_kind, eig_backend)
+                                prox_kind, eig_backend, ladder_m=lm_full)
     x_ref, y_ref = x_ref[:, 0], y_ref[:, 0]
     similarity = (jnp.abs(jnp.vdot(x_max, x_ref))
                   / jnp.maximum(_norm(x_max) * _norm(x_ref), 1e-30))

@@ -227,15 +227,20 @@ def _spectral_prox_t(z: Pair, nt: int, nr: int, ladder, sweeps: int,
     from .cplx import _panel_spectral_prox, _panel_spectral_prox_c
 
     # The fused Pallas kernel bakes the ladder into the kernel as static
-    # constants; a traced LadderArrays ladder stays on the JAX path.
+    # constants; a traced LadderArrays ladder (which IS a tuple — it is a
+    # NamedTuple of arrays) must stay on the JAX path.
     if (eig_mode == "perturb" and isinstance(v0, Pair)
-            and isinstance(ladder, tuple)):
+            and isinstance(ladder, tuple)
+            and not isinstance(ladder, LadderArrays)):
         from .pallas import fused_zprox_t, pallas_default
 
         if use_pallas is None:
             use_pallas = pallas_default()
         if use_pallas:
-            return fused_zprox_t(z, v0, nt, nr, tuple(ladder))
+            # off-TPU (forced TWOACE_PALLAS=1, e.g. CPU parity tests) the
+            # kernel must run in interpret mode
+            return fused_zprox_t(z, v0, nt, nr, tuple(ladder),
+                                 interpret=jax.default_backend() != "tpu")
 
     r = z.shape[-2]
     to_panel, from_panel = _panel_maps(nt, nr, r)
@@ -358,6 +363,7 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     if (use_pallas and has_z and prox_kind == "spectral_profile"
             and eig_mode == "perturb" and isinstance(v_basis, Pair)
             and isinstance(ladder, tuple)
+            and not isinstance(ladder, LadderArrays)
             and os.environ.get("TWOACE_MEGAKERNEL", "1") != "0"):
         from .pallas.solver_kernel import fused_infer_admm
 
@@ -407,7 +413,9 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
         if use_pallas_prox:
             from .pallas import fused_prox_dual_t
 
-            y, m_dual_fused = fused_prox_dual_t(ax, b, c["m_dual"], mu)
+            y, m_dual_fused = fused_prox_dual_t(
+                ax, b, c["m_dual"], mu,
+                interpret=jax.default_backend() != "tpu")
         elif scale_by_row:
             y = magnitude_prox_cols(ax, b, c["m_dual"], mu)
         else:
@@ -573,13 +581,18 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
 
 
 def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
-                      eig_mode, use_pallas=None):
-    """Full-data refinement with traced use_rank_one flag (ref :92,:100)."""
+                      eig_mode, use_pallas=None, ladder_m=None):
+    """Full-data refinement with traced use_rank_one flag (ref :92,:100).
+
+    ``ladder_m`` overrides the row count used for constraint-ladder
+    selection (active rows of a padded problem; see solve_lowrank_multi_pair).
+    """
     m, n = a.shape
+    lm = m if ladder_m is None else ladder_m
 
     def run(use_r1):
         ladder = (None if prox_kind == "nuclear" else
-                  profile_ladder(nt, nr, m, n, use_r1,
+                  profile_ladder(nt, nr, lm, n, use_r1,
                                  cfg.profile.rank_mults,
                                  cfg.profile.fractions,
                                  mode=cfg.profile.ladder))
@@ -597,18 +610,22 @@ def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
                                    "eig_mode"))
 def _batch_first_pass(k_inits, a: Pair, b_batch, trains, tests,
                       ladder: LadderArrays, nt: int, nr: int,
-                      cfg: AdmmConfig, prox_kind: str, eig_mode: str):
+                      cfg: AdmmConfig, prox_kind: str, eig_mode: str,
+                      m_eff=None):
     """Stage 1 of the batched solver: normalize + every (instance, restart)
     first-pass solve (ref: inferLowRankV4_multi.m:27-68).
 
     Returns ``(x (B,R,n), q (B,R), it (B,R), xs (B,R,r,n), a_n, b_n,
     a_norm, b_norm)``.  U = inv(A^H A + I) of each train split is hoisted
     out of the instance vmap (the codebook is shared, so it depends only
-    on the restart's split).
+    on the restart's split).  ``m_eff`` is the ACTIVE row count (= m
+    unless the batch carries b == 0 padding rows), matching the single
+    solver's _normalize_problem_pair.
     """
     m, n = a.shape
     r = min(cfg.rank, trains.shape[1], n)
-    a_norm = _norm(a) / math.sqrt(m)
+    m_eff = jnp.asarray(m if m_eff is None else m_eff, jnp.float32)
+    a_norm = _norm(a) / jnp.sqrt(m_eff)
     a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
     a_n = _scale(a, 1.0 / a_norm)
     b_norm = jnp.linalg.norm(b_batch, axis=-1)
@@ -637,21 +654,29 @@ def _batch_first_pass(k_inits, a: Pair, b_batch, trains, tests,
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
                                    "eig_mode"))
 def _batch_retry(a_n: Pair, b_sel, train_sel, test_sel, xs_sel: Pair,
-                 ladder: LadderArrays, nt: int, nr: int, cfg: AdmmConfig,
-                 prox_kind: str, eig_mode: str):
+                 rest_sel, trains, ladder: LadderArrays, nt: int, nr: int,
+                 cfg: AdmmConfig, prox_kind: str, eig_mode: str):
     """Stage 2: rank-1 retry of the gathered poor (instance, restart)
     pairs only (ref: inferLowRankV4_multi.m:73-77).  ``b_sel`` (K, m),
-    ``train_sel``/``test_sel`` (K, k)/(K, m-k), ``xs_sel`` (K, r, n)."""
+    ``train_sel``/``test_sel`` (K, k)/(K, m-k), ``xs_sel`` (K, r, n),
+    ``rest_sel`` (K,) restart index of each pair, ``trains`` (R, k).
 
-    def one(b, train, test, xs):
+    U = inv(A^H A + I) depends only on the restart's train split, so the
+    R distinct U matrices are computed once and indexed per pair instead
+    of re-running the Cholesky inversion K times inside the vmap."""
+    u_all = jax.vmap(lambda tr: precompute_u_pair(_take_rows(a_n, tr)))(
+        trains)                                               # (R, n, n)
+
+    def one(b, train, test, xs, rest):
         a_tr, a_te = _take_rows(a_n, train), _take_rows(a_n, test)
         b_tr, b_te = b[train], b[test]
+        u_tr = Pair(u_all.re[rest], u_all.im[rest])
         x, _, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, True, cfg,
                                  prox_kind, eig_mode, use_pallas=False,
-                                 ladder=ladder)
+                                 ladder=ladder, u_mat=u_tr)
         return x, _quality_pair(a_te, b_te, x), it
 
-    return jax.vmap(one)(b_sel, train_sel, test_sel, xs_sel)
+    return jax.vmap(one)(b_sel, train_sel, test_sel, xs_sel, rest_sel)
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
@@ -738,6 +763,21 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
     m, n = a.shape
     pl = cfg.profile
 
+    # active-row accounting (b == 0 rows are inactive padding by contract,
+    # see solve_lowrank_multi_pair): normalization and ladder selection
+    # must follow the ACTIVE count like the single solver's
+    # _normalize_problem_pair.  A is shared across the batch, so its
+    # normalization admits only one count — require it to be uniform.
+    counts = np.asarray(np.sum(np.asarray(b_batch) > 0, axis=1))
+    m_act = int(counts[0]) if batch else m
+    if batch and not (counts == m_act).all():
+        raise ValueError(
+            "solve_lowrank_multi_pair_batch shares one codebook across the "
+            "batch, so every instance must have the same active (b > 0) row "
+            f"count; got {sorted(set(counts.tolist()))}.  Pad uniformly or "
+            "use solve_lowrank_multi_pair per instance.")
+    m_act = max(m_act, 1)
+
     # same key derivation as _solve_lowrank_core (instance streams + shared
     # per-restart splits)
     keys = jax.random.split(jax.random.fold_in(key, 7), batch)
@@ -750,13 +790,14 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
         for i in range(n_restarts))
     trains = jnp.stack([t for t, _ in splits])
     tests = jnp.stack([t for _, t in splits])
-    m_tr = trains.shape[1]
+    # ladder selection by ACTIVE counts (identical to padded when no padding)
+    lm_tr = int(math.floor(m_act * cfg.cc_frac))
 
-    lad_tr = profile_ladder_arrays(nt, nr, m_tr, n, False, pl.rank_mults,
+    lad_tr = profile_ladder_arrays(nt, nr, lm_tr, n, False, pl.rank_mults,
                                    pl.fractions, mode=pl.ladder)
     x, q, it, xs, a_n, b_n, a_norm, b_norm = _batch_first_pass(
         k_inits, a, b_batch, trains, tests, lad_tr, nt=nt, nr=nr, cfg=cfg,
-        prox_kind=prox_kind, eig_mode=eig_mode)
+        prox_kind=prox_kind, eig_mode=eig_mode, m_eff=m_act)
 
     rank_one = np.zeros((batch, n_restarts), bool)
     if prox_kind != "nuclear":
@@ -765,16 +806,19 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
             inst_idx, rest_idx = np.nonzero(poor)
             k_n = inst_idx.shape[0]
             # bucket-pad to the next power of two to bound recompiles
+            # (pad entries repeat pair 0; their results are discarded)
             k_pad = 1 << max(0, (k_n - 1).bit_length())
-            pad = np.zeros(k_pad - k_n, np.int64)
-            inst_p = np.concatenate([inst_idx, inst_idx[pad]])
-            rest_p = np.concatenate([rest_idx, rest_idx[pad]])
-            lad_r1 = profile_ladder_arrays(nt, nr, m_tr, n, True,
+            inst_p = np.concatenate(
+                [inst_idx, np.full(k_pad - k_n, inst_idx[0], np.int64)])
+            rest_p = np.concatenate(
+                [rest_idx, np.full(k_pad - k_n, rest_idx[0], np.int64)])
+            lad_r1 = profile_ladder_arrays(nt, nr, lm_tr, n, True,
                                            pl.rank_mults, pl.fractions,
                                            mode=pl.ladder)
             xr, qr, itr = _batch_retry(
                 a_n, b_n[inst_p], trains[rest_p], tests[rest_p],
                 Pair(xs.re[inst_p, rest_p], xs.im[inst_p, rest_p]),
+                jnp.asarray(rest_p), trains,
                 lad_r1, nt=nt, nr=nr, cfg=cfg, prox_kind=prox_kind,
                 eig_mode=eig_mode)
             ii, rr = inst_idx, rest_idx
@@ -784,10 +828,11 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
             it = it.at[ii, rr].add(itr[:k_n])
             rank_one[ii, rr] = True
 
-    lad_full = profile_ladder_arrays(nt, nr, m, n, False, pl.rank_mults,
+    lad_full = profile_ladder_arrays(nt, nr, m_act, n, False, pl.rank_mults,
                                      pl.fractions, mode=pl.ladder)
-    lad_full_r1 = profile_ladder_arrays(nt, nr, m, n, True, pl.rank_mults,
-                                        pl.fractions, mode=pl.ladder)
+    lad_full_r1 = profile_ladder_arrays(nt, nr, m_act, n, True,
+                                        pl.rank_mults, pl.fractions,
+                                        mode=pl.ladder)
     return _batch_refine(a_n, b_n, x, q, jnp.sum(it, axis=1),
                          jnp.asarray(rank_one), lad_full, lad_full_r1,
                          a_norm, b_norm, nt=nt, nr=nr, cfg=cfg,
@@ -795,12 +840,13 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
-                                   "eig_mode", "n_restarts"))
+                                   "eig_mode", "n_restarts", "ladder_m"))
 def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
                              cfg: AdmmConfig = AdmmConfig(),
                              prox_kind: str = "spectral_profile",
                              eig_mode: str = "perturb",
-                             n_restarts: Optional[int] = None
+                             n_restarts: Optional[int] = None,
+                             ladder_m: Optional[int] = None
                              ) -> PairAdmmResult:
     """The 2ACE "A2" solver, fully in pair representation — runs end-to-end
     on TPU runtimes without complex-dtype support.
@@ -810,21 +856,46 @@ def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
     {train/test split, spectral init, over-parameterized ADMM +
     orthonormalize + per-column refinement, quality check, rank-1 retry},
     keep the best, full-data refinement with similarity rollback, rescale.
+
+    Rows with ``b == 0`` are treated as inactive padding BY CONTRACT (their
+    A rows must be zero too): real measured amplitudes are strictly
+    positive (the reference's rss -> amplitude chain
+    ``sqrt(db2pow(rss)/1000) * rss_fct`` cannot produce 0, A2only.m:130-139).
+    ``ladder_m`` gives the ACTIVE row count of such a padded problem so the
+    constraint-ladder selection (the ``m >= 3n`` overdetermined test,
+    inferLowRankV4_multi.m:447) follows the active — not padded — shape;
+    callers should snap it to the branch boundary to avoid one compile per
+    distinct count (see pipeline.mobility._ladder_m_for_window).
     """
     n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
     return _solve_lowrank_core(key, a, b, nt, nr, cfg, prox_kind, eig_mode,
-                               n_restarts, None)
+                               n_restarts, None, ladder_m=ladder_m)
 
 
 def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
                         prox_kind: str, eig_mode: str, n_restarts: int,
-                        splits, use_pallas=None) -> PairAdmmResult:
+                        splits, use_pallas=None,
+                        ladder_m: Optional[int] = None) -> PairAdmmResult:
     """Shared scaffold; ``splits`` optionally provides per-restart
     (train, test) index vectors (used by the shared-codebook batch path)."""
     m, n = a.shape
     r = min(cfg.rank, m, n)
     a, b, a_norm, b_norm = _normalize_problem_pair(a, b, cfg.tol_abs)
     thr = cfg.quality_threshold
+
+    # constraint ladders from the ACTIVE row count (= m unless the caller
+    # padded the problem and passed ladder_m); the train-split ladder uses
+    # the active train count, floor(cc_frac * active) matching _split
+    lm_full = m if ladder_m is None else ladder_m
+    lm_tr = int(math.floor(lm_full * cfg.cc_frac))
+    pl = cfg.profile
+    if prox_kind == "nuclear":
+        lad_tr = lad_tr_r1 = None
+    else:
+        lad_tr = profile_ladder(nt, nr, lm_tr, n, False, pl.rank_mults,
+                                pl.fractions, mode=pl.ladder)
+        lad_tr_r1 = profile_ladder(nt, nr, lm_tr, n, True, pl.rank_mults,
+                                   pl.fractions, mode=pl.ladder)
 
     # --- restarts, VMAPPED (the reference runs them serially,
     # inferLowRankV4_multi.m:42-84; they are independent until the best-of
@@ -844,7 +915,8 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
         a_te, b_te = _take_rows(a, test), b[test]
         xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
         x, y, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
-                                 prox_kind, eig_mode, use_pallas)
+                                 prox_kind, eig_mode, use_pallas,
+                                 ladder=lad_tr)
         return x, y, _quality_pair(a_te, b_te, x), it, xs
 
     x, y, q, it, xs = jax.vmap(first_pass)(k_inits, trains, tests)
@@ -858,7 +930,7 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
                 a_te, b_te = _take_rows(a, test), b[test]
                 xr, yr, _, itr = _impl_pair(a_tr, b_tr, xs_i, nt, nr, True,
                                             cfg, prox_kind, eig_mode,
-                                            use_pallas)
+                                            use_pallas, ladder=lad_tr_r1)
                 return xr, yr, _quality_pair(a_te, b_te, xr), itr
 
             xr, yr, qr, itr = jax.vmap(one)(trains, tests, xs)
@@ -890,7 +962,7 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
 
     x_ref, y_ref, it_ref = _refine_cond_pair(a, b, x_max, nt, nr, rank_one,
                                              cfg, prox_kind, eig_mode,
-                                             use_pallas)
+                                             use_pallas, ladder_m=ladder_m)
     iters_total = iters_total + it_ref
     # similarity |<x_max, x_ref>| / (||x_max|| ||x_ref||)  (ref :93-98)
     dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)

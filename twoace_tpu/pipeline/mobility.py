@@ -11,6 +11,8 @@ most recent probes; otherwise reset the budget to zero.
 from __future__ import annotations
 
 import dataclasses
+import inspect
+import math
 from typing import Callable, List, NamedTuple, Optional
 
 import numpy as np
@@ -65,6 +67,43 @@ def _pad_window(cb_rows, rss_amps, window: List[int], max_window: int):
     return a, b
 
 
+def _solver_takes_ladder_m(solver) -> bool:
+    """Whether a tracking solver callback accepts the ``ladder_m`` kwarg
+    (custom callbacks without it keep working, at padded-ladder fidelity)."""
+    try:
+        params = inspect.signature(solver).parameters
+    except (TypeError, ValueError):
+        return False
+    return ("ladder_m" in params
+            or any(p.kind == p.VAR_KEYWORD for p in params.values()))
+
+
+def _ladder_m_for_window(m_active: int, m_padded: int, n: int,
+                         frac: float = 0.95):
+    """Snap the active window length to a canonical ladder-equivalent count.
+
+    The constraint-ladder selection depends on the row count only through
+    the booleans ``m >= 3n`` (full-data ladder) and ``floor(m*frac) >= 3n``
+    (train-split ladder), ref: inferLowRankV4_multi.m:447.  A padded
+    problem must select ladders by its ACTIVE count, but passing the raw
+    length as a static solver arg would recompile per distinct length —
+    so return one canonical representative per boolean pair (at most 3
+    compiled variants per run), or None when the padded count already
+    selects the same ladders.
+    """
+    def pair(m):
+        return (m >= 3 * n, math.floor(m * frac) >= 3 * n)
+
+    if pair(m_active) == pair(m_padded):
+        return None
+    b1, b2 = pair(m_active)
+    if not b1:
+        return 3 * n - 1
+    if not b2:
+        return 3 * n
+    return math.ceil(3 * n / frac)
+
+
 def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
           mob: MobilityConfig = MobilityConfig(),
           solver: Optional[Callable] = None,
@@ -94,10 +133,12 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
     n_windows = total // t_size
 
     if solver is None:
-        def solver(k, a, b):
+        def solver(k, a, b, ladder_m=None):
             return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
-                                       cfg.nt, cfg.nr, mob.admm).x
+                                       cfg.nt, cfg.nr, mob.admm,
+                                       ladder_m=ladder_m).x
 
+    takes_ladder_m = _solver_takes_ladder_m(solver)
     h = np.zeros((n,), cb_rows.dtype)
     m_budget = 0
     window: List[int] = []
@@ -124,10 +165,15 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
 
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
+            lm = (_ladder_m_for_window(len(window), mob.max_window, n,
+                                       mob.admm.cc_frac)
+                  if takes_ladder_m else None)
         else:
             idx = np.asarray(window)
             a_w, b_w = cb_rows[idx], rss_amps[idx]
-        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w))
+            lm = None
+        kw = {"ladder_m": lm} if lm is not None else {}
+        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w, **kw))
         estimates[t] = h
     return MobilityTrace(rss_error=errors, probe_budget=budgets,
                         estimates=estimates)
@@ -145,13 +191,14 @@ def make_pair_solver(cfg: ArrayConfig, admm: AdmmConfig = AdmmConfig()
     from ..ops.cplx import Pair
     from ..ops.pair_solver import solve_lowrank_multi_pair
 
-    def solver(k, a, b):
+    def solver(k, a, b, ladder_m=None):
         a = np.asarray(a)                 # split re/im on the HOST: the
         ap = Pair(jnp.asarray(a.real, jnp.float32),   # complex array must
                   jnp.asarray(a.imag, jnp.float32))   # never hit the device
         res = solve_lowrank_multi_pair(k, ap,
                                        jnp.asarray(np.asarray(b), jnp.float32),
-                                       cfg.nt, cfg.nr, admm)
+                                       cfg.nt, cfg.nr, admm,
+                                       ladder_m=ladder_m)
         return np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
 
     return solver
@@ -227,10 +274,12 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
     n_windows = cb_rows.shape[0] // p
 
     if solver is None:
-        def solver(k, a, b):
+        def solver(k, a, b, ladder_m=None):
             return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
-                                       cfg.nt, cfg.nr, mob.admm).x
+                                       cfg.nt, cfg.nr, mob.admm,
+                                       ladder_m=ladder_m).x
 
+    takes_ladder_m = _solver_takes_ladder_m(solver)
     m_budget = mob.m_init
     window: List[int] = []
     errors = np.zeros(n_windows)
@@ -243,10 +292,15 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
         window = (window + list(range(start, start + m_budget)))[-mob.max_window:]
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
+            lm = (_ladder_m_for_window(len(window), mob.max_window, n,
+                                       mob.admm.cc_frac)
+                  if takes_ladder_m else None)
         else:
             idx = np.asarray(window)
             a_w, b_w = cb_rows[idx], rss_amps[idx]
-        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w))
+            lm = None
+        kw = {"ladder_m": lm} if lm is not None else {}
+        h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w, **kw))
         estimates[t] = h
 
         test = np.arange(start + m_budget, start + p)

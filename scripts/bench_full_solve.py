@@ -27,9 +27,10 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-NT = NR = 16
+NT = int(os.environ.get("NT", 16))
+NR = int(os.environ.get("NR", NT))
 N = NT * NR
-M = 4 * N
+M = int(os.environ.get("M", 4 * N))
 BATCH = int(os.environ.get("BATCH", 64))
 MAXITER = int(os.environ.get("MAXITER", 500))
 

@@ -289,7 +289,11 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
     for t in range(n_windows):
         budgets[t] = m_budget
         start = t * p
-        window = (window + list(range(start, start + m_budget)))[-mob.max_window:]
+        # a window can contribute at most its own p probes (the reference's
+        # config always has m_max < P, ref :112-115; with m_max > p the old
+        # jnp gather silently CLAMPED out-of-range indices to the last row)
+        m_used = min(m_budget, p)
+        window = (window + list(range(start, start + m_used)))[-mob.max_window:]
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
             lm = (_ladder_m_for_window(len(window), mob.max_window, n,
@@ -303,7 +307,11 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
         h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w, **kw))
         estimates[t] = h
 
-        test = np.arange(start + m_budget, start + p)
+        test = np.arange(start + m_used, start + p)
+        if test.size == 0:
+            # every probe of the window went into the solve: score on the
+            # window itself (no held-out remainder exists)
+            test = np.arange(start, start + p)
         rss_eval = np.abs(cb_rows[test] @ h)
         err = float(np.mean(np.abs(rss_eval - rss_amps[test])
                             / rss_amps[test]))

@@ -17,13 +17,24 @@ while-loop trip counts actually consumed (PairAdmmResult.iters); under
 vmap both branches of the rank-1 cond execute physically, so the reported
 rate is conservative (hardware did at least this much work per second).
 
+The solver runs at cfg.matmul_precision = "float32" (the production
+default): on this MXU the single-pass "default" precision floors the
+iterates at ~-46 dB and the residual tests never fire, so every solve
+burns the full iteration budget; at float32 precision convergence fires
+at ~1000 iterations and the iterates reach the float32 floor (-113 dB
+median).  Fewer, *useful* iterations win end-to-end — measured batch-64:
+71.3 recoveries/s at -113 dB vs 64.5 at -45.8 dB — so the headline
+iter/s is the float32-precision rate (apples-to-apples with the
+float64 MATLAB baseline's iterations).
+
 Extra keys:
   recoveries_per_s   end-to-end 16x16 recoveries per second (the number
                      to compare against MATLAB's <~1 s per recovery,
                      reference README.md:87)
   kernel_iters_per_s the stripped fused-iteration loop (no residual tests,
-                     unconditional mu ramp) — an upper bound isolating
-                     per-iteration compute cost; NOT production throughput
+                     unconditional mu ramp, chip-default matmul precision)
+                     — an upper bound isolating per-iteration compute
+                     cost; NOT production throughput
   median_nmse_db     recovery accuracy of the timed workload (sanity: the
                      speed is for solves that actually work)
 
@@ -259,6 +270,8 @@ def bench_single_latency(reps: int = 10):
 
 
 def main():
+    from twoace_tpu.config import AdmmConfig
+
     full_iters_per_s, recov_per_s, med_nmse, first_call_s = bench_full_solve()
     kernel_iters_per_s = bench_kernel_loop()
     latency_ms = bench_single_latency()
@@ -275,6 +288,7 @@ def main():
         "median_nmse_db": round(med_nmse, 1),
         "solve_batch": SOLVE_BATCH,
         "maxiter": MAXITER,
+        "matmul_precision": AdmmConfig().matmul_precision,
         # first solve_lowrank_multi_pair_batch call incl. trace+compile of
         # the three staged jits (near-zero when .jax_cache is warm)
         "first_call_s": round(first_call_s, 1),

@@ -271,3 +271,30 @@ def test_phaselift_bm_pair_matches_complex():
     db_p = _nmse_db(x_p, x_true)
     assert db_c < -15
     assert db_p < -15
+
+
+def test_matmul_precision_modes_agree_on_cpu():
+    """cfg.matmul_precision selects the solver's trace-time matmul
+    precision (the TPU accuracy/throughput knob — see config.AdmmConfig);
+    on CPU f32 matmuls are exact in every mode, so both modes must
+    produce identical recoveries (guards the context plumbing + jit
+    cache-key separation)."""
+    nt = nr = 4
+    n, m = 16, 64
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 4, (m, n))
+    a = (np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)).astype(np.complex64)
+    x = np.outer(_steer(nr, 0.3), _steer(nt, -0.2).conj()).T.reshape(-1)
+    b = jnp.asarray(np.abs(a @ x), jnp.float32)
+    out = {}
+    for prec in ("float32", "default"):
+        cfg = AdmmConfig(maxiter=80, n_restarts=1, matmul_precision=prec)
+        res = solve_lowrank_multi_pair(jax.random.PRNGKey(1), _pair(a), b,
+                                       nt, nr, cfg)
+        out[prec] = (np.asarray(res.x.re) + 1j * np.asarray(res.x.im),
+                     int(res.iters))
+    np.testing.assert_allclose(out["float32"][0].real,
+                               out["default"][0].real, atol=1e-6)
+    np.testing.assert_allclose(out["float32"][0].imag,
+                               out["default"][0].imag, atol=1e-6)
+    assert out["float32"][1] == out["default"][1]

@@ -795,9 +795,12 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
 
     lad_tr = profile_ladder_arrays(nt, nr, lm_tr, n, False, pl.rank_mults,
                                    pl.fractions, mode=pl.ladder)
-    x, q, it, xs, a_n, b_n, a_norm, b_norm = _batch_first_pass(
-        k_inits, a, b_batch, trains, tests, lad_tr, nt=nt, nr=nr, cfg=cfg,
-        prox_kind=prox_kind, eig_mode=eig_mode, m_eff=m_act)
+    # trace-time matmul precision for all three staged jits (see
+    # config.AdmmConfig.matmul_precision; participates in the jit key)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        x, q, it, xs, a_n, b_n, a_norm, b_norm = _batch_first_pass(
+            k_inits, a, b_batch, trains, tests, lad_tr, nt=nt, nr=nr,
+            cfg=cfg, prox_kind=prox_kind, eig_mode=eig_mode, m_eff=m_act)
 
     rank_one = np.zeros((batch, n_restarts), bool)
     if prox_kind != "nuclear":
@@ -815,12 +818,13 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
             lad_r1 = profile_ladder_arrays(nt, nr, lm_tr, n, True,
                                            pl.rank_mults, pl.fractions,
                                            mode=pl.ladder)
-            xr, qr, itr = _batch_retry(
-                a_n, b_n[inst_p], trains[rest_p], tests[rest_p],
-                Pair(xs.re[inst_p, rest_p], xs.im[inst_p, rest_p]),
-                jnp.asarray(rest_p), trains,
-                lad_r1, nt=nt, nr=nr, cfg=cfg, prox_kind=prox_kind,
-                eig_mode=eig_mode)
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                xr, qr, itr = _batch_retry(
+                    a_n, b_n[inst_p], trains[rest_p], tests[rest_p],
+                    Pair(xs.re[inst_p, rest_p], xs.im[inst_p, rest_p]),
+                    jnp.asarray(rest_p), trains,
+                    lad_r1, nt=nt, nr=nr, cfg=cfg, prox_kind=prox_kind,
+                    eig_mode=eig_mode)
             ii, rr = inst_idx, rest_idx
             x = Pair(x.re.at[ii, rr].set(xr.re[:k_n]),
                      x.im.at[ii, rr].set(xr.im[:k_n]))
@@ -833,10 +837,11 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
     lad_full_r1 = profile_ladder_arrays(nt, nr, m_act, n, True,
                                         pl.rank_mults, pl.fractions,
                                         mode=pl.ladder)
-    return _batch_refine(a_n, b_n, x, q, jnp.sum(it, axis=1),
-                         jnp.asarray(rank_one), lad_full, lad_full_r1,
-                         a_norm, b_norm, nt=nt, nr=nr, cfg=cfg,
-                         prox_kind=prox_kind, eig_mode=eig_mode)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _batch_refine(a_n, b_n, x, q, jnp.sum(it, axis=1),
+                             jnp.asarray(rank_one), lad_full, lad_full_r1,
+                             a_norm, b_norm, nt=nt, nr=nr, cfg=cfg,
+                             prox_kind=prox_kind, eig_mode=eig_mode)
 
 
 @partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
@@ -868,8 +873,15 @@ def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
     distinct count (see pipeline.mobility._ladder_m_for_window).
     """
     n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
-    return _solve_lowrank_core(key, a, b, nt, nr, cfg, prox_kind, eig_mode,
-                               n_restarts, None, ladder_m=ladder_m)
+    # cfg.matmul_precision: "float32" (default) makes the residual tests
+    # actually converge on TPU MXUs (see config.AdmmConfig); the Pallas
+    # megakernel iterates at the chip's single-pass precision internally,
+    # so it only engages in "default"-precision mode.
+    up = None if cfg.matmul_precision == "default" else False
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _solve_lowrank_core(key, a, b, nt, nr, cfg, prox_kind,
+                                   eig_mode, n_restarts, None,
+                                   use_pallas=up, ladder_m=ladder_m)
 
 
 def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,

@@ -375,16 +375,23 @@ def fused_infer_admm(a: Pair, b, u_mat: Pair, y0: Pair, z0: Pair, v0: Pair,
                  jax.ShapeDtypeStruct((rx, m), jnp.float32),
                  jax.ShapeDtypeStruct((1, 2), jnp.float32)]
     mu_arr = jnp.asarray(mu0, jnp.float32).reshape(1, 1)
-    oxr, oxi, oyr, oyi, stat = pl.pallas_call(
-        kern,
-        in_specs=[vspec] * 11 + [pl.BlockSpec((1, 1),
-                                              memory_space=pltpu.SMEM)],
-        out_specs=[vspec] * 4 + [pl.BlockSpec((1, 2),
-                                              memory_space=pltpu.SMEM)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(a.re, a.im, b.reshape(1, m), u_mat.re, u_mat.im,
-      y0.re, y0.im, z0.re, z0.im, v0.re, -v0.im, mu_arr)
+    # Pin DEFAULT matmul precision for the kernel body: its VMEM budget is
+    # sized for single-pass MXU matmuls, and a global
+    # jax.default_matmul_precision("float32"/"highest") would trace the
+    # in-kernel dots as multi-pass emulation and overflow scoped VMEM
+    # (measured: 18.84M > 16M limit at r=20, m~1k).  Callers wanting the
+    # float32 accuracy floor should use the XLA path (TWOACE_MEGAKERNEL=0).
+    with jax.default_matmul_precision("default"):
+        oxr, oxi, oyr, oyi, stat = pl.pallas_call(
+            kern,
+            in_specs=[vspec] * 11 + [pl.BlockSpec((1, 1),
+                                                  memory_space=pltpu.SMEM)],
+            out_specs=[vspec] * 4 + [pl.BlockSpec((1, 2),
+                                                  memory_space=pltpu.SMEM)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(a.re, a.im, b.reshape(1, m), u_mat.re, u_mat.im,
+          y0.re, y0.im, z0.re, z0.im, v0.re, -v0.im, mu_arr)
     if not scale_by_row:
         oxr, oxi = oxr[0], oxi[0]
         oyr, oyi = oyr[0], oyi[0]

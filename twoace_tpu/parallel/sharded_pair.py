@@ -310,4 +310,6 @@ def solve_lowrank_sharded_pair(mesh: Mesh, a: Pair, b, nt: int, nr: int,
                              P(BATCH_AXIS, ROWS_AXIS)),
                    out_specs=P(BATCH_AXIS, None),
                    check_vma=False)
-    return fn(a, b)
+    # same precision policy as the unsharded solvers (config.AdmmConfig)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return fn(a, b)

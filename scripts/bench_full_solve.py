@@ -86,7 +86,7 @@ def main():
 
     print(f"first call (compile+run): {t_compile_and_run:.1f} s  "
           f"(min quality {q0:.4f})")
-    print(f"steady state: {BATCH / dt:,.1f} full 16x16 recoveries/s "
+    print(f"steady state: {BATCH / dt:,.1f} full {NT}x{NR} recoveries/s "
           f"({dt * 1e3:.0f} ms for batch of {BATCH}; maxiter={MAXITER})")
     print(f"vs MATLAB (<~1 s/recovery): {BATCH / dt:,.0f}x")
     print(f"recovery NMSE: median {np.median(nmse):.1f} dB, "

@@ -77,3 +77,40 @@ def test_vsm_curves_monotone_trend(vsm):
     M grid (sanity: more measurements never make recovery much worse)."""
     a2 = np.asarray(vsm["nmse_db"]["admm_lowrank_v4"])
     assert (np.diff(a2) <= 3.0).all(), a2.tolist()
+
+
+def _load(name):
+    path = os.path.join(ROOT, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_bench_sweep_artifact_bounds():
+    """BENCH_sweep_r03.json: the committed throughput/accuracy points stay
+    in the claimed regime (production float32 precision: convergence
+    fires, -113 dB median, recoveries/s grows with batch)."""
+    d = _load("BENCH_sweep_r03.json")
+    assert d.get("matmul_precision") == "float32"
+    pts = {p["solve_batch"]: p for p in d["points"]}
+    assert pts[64]["recoveries_per_s"] > 50
+    assert pts[256]["recoveries_per_s"] >= pts[16]["recoveries_per_s"]
+    # converged solves: far below the maxiter-exhausted 3500/instance
+    assert pts[64]["selected_iters"] / 64 < 2000
+
+
+def test_mobility_artifact_bounds():
+    """MOBILITY_r03.json: one-compile tracking throughput claim."""
+    d = _load("MOBILITY_r03.json")
+    assert d["windows_per_s"] > 5
+    assert d["window_latency_ms"] < 200
+
+
+def test_compile_artifact_bounds():
+    """COMPILE_r03.json: the staged batch solver's eager cold compile
+    (first_pass + refine; retry is lazy) stays under the 120 s target."""
+    d = _load("COMPILE_r03.json")
+    s = d["stages"]
+    eager = s["first_pass"]["compile_s"] + s["refine"]["compile_s"]
+    assert eager < 120, eager

@@ -86,11 +86,24 @@ def main():
         })
         print(json.dumps(points[-1]), flush=True)
 
+    from twoace_tpu.config import AdmmConfig
+
     out = {
         "workload": {"nt": NT, "nr": NR, "m": M, "maxiter": MAXITER,
                      "solver": "solve_lowrank_multi_pair_batch (staged)"},
         "backend": jax.default_backend(),
+        "matmul_precision": AdmmConfig().matmul_precision,
         "points": points,
+        "note": ("cfg.matmul_precision='float32' (the production default): "
+                 "residual convergence tests fire at ~1000 iterations/solve "
+                 "and iterates reach the float32 floor (-113 dB median), vs "
+                 "the chip-default single-pass precision which floors at "
+                 "~-46 dB and always exhausts maxiter (measured batch-64: "
+                 "64.5 recov/s at -45.8 dB).  Batch 256 scales best here "
+                 "because converged solves exit the lockstep vmap budget "
+                 "earlier.  first_call_s is cold-compile sensitive: "
+                 "tunnel congestion and the data-dependent retry bucket "
+                 "shape dominate it."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_sweep_r03.json")

@@ -310,6 +310,11 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     # batched small-matmul form at large vmap batch, so the batch solver
     # passes False explicitly (measured: kernel-loop 377k iter/s XLA vs
     # 149k Pallas at batch 256; single-solve 233ms Pallas vs 266ms XLA).
+    # NOTE: the production solvers (AdmmConfig.matmul_precision="float32")
+    # also pass False — the kernels iterate at the chip's single-pass
+    # precision internally, which floors accuracy at ~-46 dB and defeats
+    # the residual convergence tests (see config.AdmmConfig); kernels
+    # engage only in "default"-precision mode.
     from .pallas import pallas_default
     if use_pallas is None:
         use_pallas = pallas_default()

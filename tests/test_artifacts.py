@@ -114,3 +114,15 @@ def test_compile_artifact_bounds():
     s = d["stages"]
     eager = s["first_pass"]["compile_s"] + s["refine"]["compile_s"]
     assert eager < 120, eager
+
+
+def test_breakdown_artifact_crossover_relations():
+    """BENCH_breakdown_r03.json: the measured relations that justify the
+    batch solver's XLA routing (README 'Pallas — where they win')."""
+    d = _load("BENCH_breakdown_r03.json")
+    v = {k: p["iters_per_s"] for k, p in d["variants"].items()}
+    # XLA's batched form beats both Pallas forms at batch 256...
+    assert v["full_xla"] > v["batchz_pallas"] > v["full_pallas"]
+    # ...and removing the Z-prox entirely bounds the achievable win
+    assert v["no_zprox"] > v["full_xla"]
+    assert v["no_zprox"] / v["full_xla"] < 1.5

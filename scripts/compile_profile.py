@@ -115,7 +115,8 @@ def main():
 
     stages = {
         "first_pass": (ps._batch_first_pass,
-                       (k_inits, a, b_batch, trains, tests, lad_tr), stat),
+                       (k_inits, a, b_batch, trains, tests, lad_tr),
+                       dict(stat, m_eff=m)),
         "retry_k16": (ps._batch_retry,
                       (a, b_sel, train_sel, test_sel, xs_sel,
                        jnp.zeros((k_pad,), jnp.int32), trains, lad_tr_r1),
@@ -132,7 +133,12 @@ def main():
     results = {}
     for name, (fn, fargs, fkw) in stages.items():
         t0 = time.perf_counter()
-        lowered = fn.lower(*fargs, **fkw)
+        # lower under the production matmul-precision context, exactly as
+        # solve_lowrank_multi_pair{_batch} traces these stages — otherwise
+        # the profile measures (and cache-warms) graph variants production
+        # never compiles
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            lowered = fn.lower(*fargs, **fkw)
         lower_s = time.perf_counter() - t0
         txt = lowered.as_text()
         t0 = time.perf_counter()

@@ -328,6 +328,19 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
                         n_restarts: Optional[int] = None,
                         ladder_m: Optional[int] = None) -> AdmmResult:
     """The 2ACE "A2" solver (ADMMLowRankV4): inferLowRankV4_multi.
+    See :func:`_solve_lowrank_multi_impl` for the full contract; this
+    wrapper applies ``cfg.matmul_precision`` at trace time (same policy
+    as the pair solvers — a no-op on CPU, the usual home of this
+    complex-dtype path, but on complex-capable accelerators the context
+    is what makes the residual convergence tests actually fire)."""
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _solve_lowrank_multi_impl(key, a, b, nt, nr, cfg, prox_kind,
+                                         eig_backend, n_restarts, ladder_m)
+
+
+def _solve_lowrank_multi_impl(key, a, b, nt, nr, cfg, prox_kind,
+                              eig_backend, n_restarts, ladder_m) -> AdmmResult:
+    """The 2ACE "A2" solver (ADMMLowRankV4): inferLowRankV4_multi.
 
     ref: inferLowRankV4_multi.m:5-109.  ``n_restarts=1`` reproduces the
     single-restart scaffold shared by inferLowRank_Nuclear (ref
@@ -421,6 +434,11 @@ def solve_minl2(key, a, b, cfg: AdmmConfig = AdmmConfig()) -> AdmmResult:
     ref: inferMinL2.m:1-65 — single ceil(m*0.95) split, pinv(A) X-update,
     quality-gated refinement with similarity rollback.
     """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _solve_minl2_impl(key, a, b, cfg)
+
+
+def _solve_minl2_impl(key, a, b, cfg: AdmmConfig) -> AdmmResult:
     m, n = a.shape
     r = min(cfg.rank, m, n)
     a, b, a_norm, b_norm = _normalize_problem(a, b, cfg.tol_abs)

@@ -779,8 +779,12 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
         raise ValueError(
             "solve_lowrank_multi_pair_batch shares one codebook across the "
             "batch, so every instance must have the same active (b > 0) row "
-            f"count; got {sorted(set(counts.tolist()))}.  Pad uniformly or "
-            "use solve_lowrank_multi_pair per instance.")
+            f"count; got {sorted(set(counts.tolist()))}.  b == 0 marks an "
+            "INACTIVE padding row by contract (real measured amplitudes "
+            "are strictly positive, A2only.m:130-139) — if these zeros are "
+            "genuine measurements, clamp them to a tiny positive floor; "
+            "otherwise pad uniformly or use solve_lowrank_multi_pair per "
+            "instance.")
     m_act = max(m_act, 1)
 
     # same key derivation as _solve_lowrank_core (instance streams + shared

@@ -78,6 +78,15 @@ def _solver_takes_ladder_m(solver) -> bool:
             or any(p.kind == p.VAR_KEYWORD for p in params.values()))
 
 
+def _solver_cc_frac(solver, default: float) -> float:
+    """The train-split fraction the solver actually uses — the ladder snap
+    must evaluate the train-ladder boundary with the SOLVER's cc_frac, not
+    the tracking config's (they may carry different AdmmConfigs).  Solver
+    callbacks built by this module set ``solver.cc_frac``; custom callbacks
+    that accept ladder_m should do the same if their fraction differs."""
+    return float(getattr(solver, "cc_frac", default))
+
+
 def _ladder_m_for_window(m_active: int, m_padded: int, n: int,
                          frac: float = 0.95):
     """Snap the active window length to a canonical ladder-equivalent count.
@@ -137,6 +146,7 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
             return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
                                        cfg.nt, cfg.nr, mob.admm,
                                        ladder_m=ladder_m).x
+        solver.cc_frac = mob.admm.cc_frac
 
     takes_ladder_m = _solver_takes_ladder_m(solver)
     h = np.zeros((n,), cb_rows.dtype)
@@ -166,7 +176,8 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
             lm = (_ladder_m_for_window(len(window), mob.max_window, n,
-                                       mob.admm.cc_frac)
+                                       _solver_cc_frac(solver,
+                                                       mob.admm.cc_frac))
                   if takes_ladder_m else None)
         else:
             idx = np.asarray(window)
@@ -184,9 +195,10 @@ def make_pair_solver(cfg: ArrayConfig, admm: AdmmConfig = AdmmConfig()
     """A tracking solver running the pair-form A2 path — the on-TPU
     configuration (complex dtypes are unsupported on some TPU runtimes).
 
-    Combined with ``static_pad`` the jitted pair solver (and its Pallas
-    megakernel, the batch-1 TPU default) compiles once per tracking run;
-    see scripts/bench_mobility.py for the measured windows/s.
+    Combined with ``static_pad`` the jitted pair solver compiles once per
+    tracking run; see scripts/bench_mobility.py for the measured windows/s.
+    (The Pallas megakernel engages only under
+    ``admm.matmul_precision="default"`` — see config.AdmmConfig.)
     """
     from ..ops.cplx import Pair
     from ..ops.pair_solver import solve_lowrank_multi_pair
@@ -201,6 +213,7 @@ def make_pair_solver(cfg: ArrayConfig, admm: AdmmConfig = AdmmConfig()
                                        ladder_m=ladder_m)
         return np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
 
+    solver.cc_frac = admm.cc_frac     # ladder-snap boundary (see track())
     return solver
 
 
@@ -278,6 +291,7 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
             return solve_lowrank_multi(k, jnp.asarray(a), jnp.asarray(b),
                                        cfg.nt, cfg.nr, mob.admm,
                                        ladder_m=ladder_m).x
+        solver.cc_frac = mob.admm.cc_frac
 
     takes_ladder_m = _solver_takes_ladder_m(solver)
     m_budget = mob.m_init
@@ -289,15 +303,20 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
     for t in range(n_windows):
         budgets[t] = m_budget
         start = t * p
-        # a window can contribute at most its own p probes (the reference's
-        # config always has m_max < P, ref :112-115; with m_max > p the old
-        # jnp gather silently CLAMPED out-of-range indices to the last row)
-        m_used = min(m_budget, p)
+        # a window contributes at most p - 1 of its own p probes so a
+        # held-out remainder ALWAYS exists for the prediction score — the
+        # reference's semantics (score on probes M+1..P, ref :133-163)
+        # presume m_max < P (ref :112-115); scoring in-sample on the very
+        # probes just solved would sit at the solver's residual floor and
+        # spuriously shrink the budget.  (The old jnp gather also silently
+        # CLAMPED out-of-range indices when m_budget > p.)
+        m_used = min(m_budget, p - 1) if p > 1 else 0
         window = (window + list(range(start, start + m_used)))[-mob.max_window:]
         if static_pad:
             a_w, b_w = _pad_window(cb_rows, rss_amps, window, mob.max_window)
             lm = (_ladder_m_for_window(len(window), mob.max_window, n,
-                                       mob.admm.cc_frac)
+                                       _solver_cc_frac(solver,
+                                                       mob.admm.cc_frac))
                   if takes_ladder_m else None)
         else:
             idx = np.asarray(window)
@@ -307,11 +326,7 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
         h = np.asarray(solver(jax.random.fold_in(key, t), a_w, b_w, **kw))
         estimates[t] = h
 
-        test = np.arange(start + m_used, start + p)
-        if test.size == 0:
-            # every probe of the window went into the solve: score on the
-            # window itself (no held-out remainder exists)
-            test = np.arange(start, start + p)
+        test = np.arange(start + m_used, start + p)   # nonempty by m_used cap
         rss_eval = np.abs(cb_rows[test] @ h)
         err = float(np.mean(np.abs(rss_eval - rss_amps[test])
                             / rss_amps[test]))

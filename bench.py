@@ -246,7 +246,16 @@ def bench_full_solve():
 def bench_single_latency(reps: int = 10):
     """One-recovery latency (the mobility-tracking path, ref:
     RSS_Mobility.m:155-188 re-solves per window).  Uses the Pallas fused
-    kernels (auto default at batch 1)."""
+    kernels (auto default at batch 1).
+
+    Returns ``(wall_ms, device_ms, rtt_ms)``.  The wall number includes a
+    host readback over the remote tunnel each call; the device time is
+    isolated WITHOUT trace parsing by pipelining: the solver is one jit
+    (data-dependent while_loops run on device), so launching ``reps``
+    solves asynchronously and syncing once costs ``reps * device + rtt``
+    while the synchronous loop costs ``reps * (device + rtt)`` — two
+    equations, two unknowns.
+    """
     from twoace_tpu.config import AdmmConfig
     from twoace_tpu.ops.cplx import Pair
     from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair
@@ -261,12 +270,24 @@ def bench_single_latency(reps: int = 10):
     cfg = AdmmConfig(maxiter=MAXITER)
     key = jax.random.PRNGKey(0)
     int(np.asarray(solve_lowrank_multi_pair(key, ap, b, NT, NR, cfg).iters))
+    # synchronous: device + tunnel round-trip per call
     t0 = time.perf_counter()
     for i in range(reps):
         res = solve_lowrank_multi_pair(jax.random.fold_in(key, i), ap, b,
                                        NT, NR, cfg)
         int(np.asarray(res.iters))
-    return (time.perf_counter() - t0) / reps * 1e3
+    wall_ms = (time.perf_counter() - t0) / reps * 1e3
+    # pipelined: all launches in flight, ONE readback (single-core TPU
+    # executes in order, so the last result completing implies all did)
+    t0 = time.perf_counter()
+    results = [solve_lowrank_multi_pair(jax.random.fold_in(key, 100 + i),
+                                        ap, b, NT, NR, cfg)
+               for i in range(reps)]
+    int(np.asarray(results[-1].iters))
+    pipe_s = time.perf_counter() - t0
+    device_ms = max((pipe_s * 1e3 - wall_ms) / (reps - 1), 0.0)
+    rtt_ms = max(wall_ms - device_ms, 0.0)
+    return wall_ms, device_ms, rtt_ms
 
 
 def main():
@@ -274,7 +295,7 @@ def main():
 
     full_iters_per_s, recov_per_s, med_nmse, first_call_s = bench_full_solve()
     kernel_iters_per_s = bench_kernel_loop()
-    latency_ms = bench_single_latency()
+    latency_ms, device_ms, rtt_ms = bench_single_latency()
 
     print(json.dumps({
         "metric": "admm_iters_per_s",
@@ -285,6 +306,10 @@ def main():
         "recoveries_per_s": round(recov_per_s, 2),
         "kernel_iters_per_s": round(kernel_iters_per_s, 1),
         "solve_latency_ms": round(latency_ms, 1),
+        # on-chip execution time isolated from the tunnel round-trip by
+        # pipelined launches (see bench_single_latency)
+        "solve_device_ms": round(device_ms, 1),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
         "median_nmse_db": round(med_nmse, 1),
         "solve_batch": SOLVE_BATCH,
         "maxiter": MAXITER,

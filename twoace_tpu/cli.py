@@ -133,6 +133,10 @@ def cmd_vs_m(args) -> None:
     arrays = {"m_grid": res.grid}
     arrays.update({f"nmse_{k}": v for k, v in res.nmse.items()})
     arrays.update({f"ang_{k}": v for k, v in res.aoda_err.items()})
+    # per-trial NMSE (len(grid), trials): variance columns for the
+    # committed accuracy artifacts (VSM_r04+)
+    arrays.update({f"nmse_trials_{k}": v
+                   for k, v in res.nmse_trials.items()})
     _emit(summary, arrays, args)
 
 

@@ -138,6 +138,16 @@ class AdmmConfig:
     #: recoveries/s).  A no-op on CPU (f32 is exact there).  Set "default"
     #: for raw-throughput mode.
     matmul_precision: str = "float32"
+    #: Mixed-precision warm phase: run the FIRST ``warm_iters`` iterations
+    #: of every inner ADMM solve at single-pass "default" matmul precision
+    #: (~3x cheaper on the MXU than the float32 emulation), then hand the
+    #: carried state to the float32 tail that actually converges.  The
+    #: default-precision fixed point sits at ~-46 dB, so the warm phase
+    #: does the bulk contraction cheaply and the f32 tail only pays for
+    #: the last decades (see scripts/bench_batch_sweep.py for the measured
+    #: A/B).  0 disables (pure ``matmul_precision`` throughout); no effect
+    #: on CPU (f32 is exact there).
+    warm_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

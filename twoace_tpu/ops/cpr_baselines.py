@@ -110,10 +110,18 @@ def conventional_cs(measurements_complex, a, s: int, noise_power: float,
                     learn_lambda=True)
         # EMBGAMP can diverge on hard instances; the reference wraps it in
         # try/catch and falls back to OMP (My_TwoStage_Recovery.m:173-178).
-        # Non-finite output takes the same fallback here (jit-compatible:
-        # both branches run, the finite one is selected).
-        ok = jnp.all(jnp.isfinite(x.real) & jnp.isfinite(x.imag))
-        x_omp = omp(a, measurements_complex, max_steps=s)
+        # Under jit divergence shows up as non-finite output OR as a finite
+        # collapsed iterate (EM shrinks the sparsity to ~0 and x sticks at
+        # the zero fixed point) whose data fit is worse than OMP's — gate
+        # on both, selecting the better-fitting answer (jit-compatible:
+        # both branches run, one is selected).
+        y = measurements_complex
+        fin = jnp.isfinite(x.real) & jnp.isfinite(x.imag)
+        x_safe = jnp.where(fin, x, 0.0)
+        x_omp = omp(a, y, max_steps=s)
+        r_gamp = jnp.linalg.norm(y - a @ x_safe)
+        r_omp = jnp.linalg.norm(y - a @ x_omp)
+        ok = jnp.logical_and(jnp.all(fin), r_gamp <= r_omp)
         return jnp.where(ok, x, x_omp)
     return omp(a, measurements_complex, max_steps=s)
 

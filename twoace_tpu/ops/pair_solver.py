@@ -289,7 +289,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     tol_rel: float = 1e-4, tol_abs: float = 1e-8,
                     maxiter: int = 500, sweeps: int = 1,
                     eig_mode: str = "perturb",
-                    use_pallas: Optional[bool] = None):
+                    use_pallas: Optional[bool] = None,
+                    warm_iters: int = 0):
     """One InferADMM solve in transposed pair layout.
 
     Mirrors :func:`.admm.infer_admm` (ref: inferLowRankV4_multi.m:281-386):
@@ -511,6 +512,32 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     opt_obj=opt_obj, opt_x=opt_x, opt_y=opt_y,
                     it=c["it"] + 1, done=converged, converged=converged)
 
+    if warm_iters > 0:
+        # Mixed-precision schedule (see config.AdmmConfig.warm_iters): the
+        # SAME body traced twice — first under single-pass "default" matmul
+        # precision (3x cheaper per iteration on the MXU), bounded at
+        # warm_iters, then under the ambient (float32) precision from the
+        # carried state.  The default-precision fixed point sits at
+        # ~-46 dB, far above tol, so the warm loop's convergence tests
+        # cannot fire spuriously; the f32 tail pays only for the last
+        # decades of contraction.
+        warm_bound = min(warm_iters, maxiter)
+
+        def cond_warm(c):
+            return jnp.logical_and(c["it"] < warm_bound,
+                                   jnp.logical_not(c["done"]))
+
+        with jax.default_matmul_precision("default"):
+            init = lax.while_loop(cond_warm, body, init)
+        # coarse-precision residuals must not certify convergence, and the
+        # coarse best-so-far objective (computed with noisy matmuls) must
+        # not block the f32 tail's genuinely better states: reset both at
+        # the phase switch (opt_x is immediately re-filled by the first
+        # f32 iteration since any finite objective beats inf)
+        init = dict(init, done=jnp.zeros_like(init["done"]),
+                    converged=jnp.zeros_like(init["converged"]),
+                    opt_obj=jnp.full_like(init["opt_obj"], jnp.inf))
+
     out = lax.while_loop(cond, body, init)
     return out["opt_x"], out["opt_y"], out["converged"], out["it"]
 
@@ -578,11 +605,14 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
     kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
               mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode,
-              use_pallas=use_pallas)
+              use_pallas=use_pallas, warm_iters=cfg.warm_iters)
     x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
     x = _orthonormalize_cols_t(x)
     x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
-    return x, y, converged, it1 + it2
+    # per-solve trip counts, stacked: callers that only need the total sum
+    # the last axis; the batch solver's waste accounting needs them split
+    # (a vmapped while_loop runs every lane to the slowest lane's count)
+    return x, y, converged, jnp.stack([it1, it2])
 
 
 def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
@@ -620,8 +650,10 @@ def _batch_first_pass(k_inits, a: Pair, b_batch, trains, tests,
     """Stage 1 of the batched solver: normalize + every (instance, restart)
     first-pass solve (ref: inferLowRankV4_multi.m:27-68).
 
-    Returns ``(x (B,R,n), q (B,R), it (B,R), xs (B,R,r,n), a_n, b_n,
-    a_norm, b_norm)``.  U = inv(A^H A + I) of each train split is hoisted
+    Returns ``(x (B,R,n), q (B,R), it (B,R,2), xs (B,R,r,n), a_n, b_n,
+    a_norm, b_norm)`` — ``it[..., 0]``/``it[..., 1]`` are the per-lane trip
+    counts of the scale_by_row / per-column solves (split for lockstep-waste
+    accounting; see scripts/bench_lockstep.py).  U = inv(A^H A + I) of each train split is hoisted
     out of the instance vmap (the codebook is shared, so it depends only
     on the restart's split).  ``m_eff`` is the ACTIVE row count (= m
     unless the batch carries b == 0 padding rows), matching the single
@@ -679,7 +711,7 @@ def _batch_retry(a_n: Pair, b_sel, train_sel, test_sel, xs_sel: Pair,
         x, _, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, True, cfg,
                                  prox_kind, eig_mode, use_pallas=False,
                                  ladder=ladder, u_mat=u_tr)
-        return x, _quality_pair(a_te, b_te, x), it
+        return x, _quality_pair(a_te, b_te, x), jnp.sum(it)
 
     return jax.vmap(one)(b_sel, train_sel, test_sel, xs_sel, rest_sel)
 
@@ -773,7 +805,11 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
     # must follow the ACTIVE count like the single solver's
     # _normalize_problem_pair.  A is shared across the batch, so its
     # normalization admits only one count — require it to be uniform.
-    counts = np.asarray(np.sum(np.asarray(b_batch) > 0, axis=1))
+    if isinstance(b_batch, np.ndarray):
+        counts = np.sum(b_batch > 0, axis=1)        # pure host, no sync
+    else:
+        # reduce on device first: syncs a (B,) int vector, not (B, m) floats
+        counts = np.asarray(jnp.sum(b_batch > 0, axis=1))
     m_act = int(counts[0]) if batch else m
     if batch and not (counts == m_act).all():
         raise ValueError(
@@ -810,6 +846,7 @@ def solve_lowrank_multi_pair_batch(key, a: Pair, b_batch, nt: int, nr: int,
         x, q, it, xs, a_n, b_n, a_norm, b_norm = _batch_first_pass(
             k_inits, a, b_batch, trains, tests, lad_tr, nt=nt, nr=nr,
             cfg=cfg, prox_kind=prox_kind, eig_mode=eig_mode, m_eff=m_act)
+    it = jnp.sum(it, axis=-1)                   # (B, R) per-lane totals
 
     rank_one = np.zeros((batch, n_restarts), bool)
     if prox_kind != "nuclear":
@@ -961,7 +998,7 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
             y2 = Pair(jnp.where(sel, yr.re, y.re),
                       jnp.where(sel, yr.im, y.im))
             return (x2, y2, jnp.where(poor, qr, q),
-                    it + jnp.where(poor, itr, 0))
+                    it + jnp.where(poor[:, None], itr, 0))
 
         # Scalar any(poor) predicate: the rank-1 retry stays a LAZY branch
         # in the single-recovery jit (it only runs when some restart fails

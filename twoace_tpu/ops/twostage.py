@@ -110,15 +110,29 @@ def _two_stage_jit(measurements, a, s: int,
     pl = phaselift_fista(p, jnp.real(measurements), cfg.phaselift)
     int_soln = pl.x
 
-    # stage 2 (ref :156-181)
-    if run_plomp:
-        plomp = omp(c, int_soln, max_steps=max(2 * s, 4))
-    else:
-        plomp = jnp.zeros((n,), a.dtype)
+    # stage 2 (ref :156-181).  The OMP solve doubles as PLGAMP's divergence
+    # fallback, so it is computed whenever either stage-2 method runs.
+    if run_plomp or run_plgamp:
+        omp_soln = omp(c, int_soln, max_steps=max(2 * s, 4))
+    plomp = omp_soln if run_plomp else jnp.zeros((n,), a.dtype)
     if run_plgamp:
         snr_db = 10.0 * jnp.log10(1.0 / jnp.maximum(noise_power, 1e-20))
-        plgamp = embgamp(int_soln, c, snr_db, lam0=s / n,
-                         learn_lambda=False)
+        raw = embgamp(int_soln, c, snr_db, lam0=s / n,
+                      learn_lambda=False)
+        # EMBGAMP -> OMP fallback (ref: My_TwoStage_Recovery.m:173-178
+        # wraps EMBGAMP in try/catch and answers OMP(A_Gamp, intSoln_PL)
+        # on failure, so the reference's PLGAMP curve is always finite).
+        # Under jit the divergence manifests as non-finite output, or as a
+        # finite iterate whose data fit is worse than OMP's — route both to
+        # the already-computed OMP solution (same pattern as
+        # cpr_baselines.conventional_cs).
+        finite = jnp.all(jnp.isfinite(raw.real) & jnp.isfinite(raw.imag))
+        raw_safe = jnp.where(jnp.isfinite(raw.real) & jnp.isfinite(raw.imag),
+                             raw, 0.0)
+        r_gamp = jnp.linalg.norm(int_soln - c @ raw_safe)
+        r_omp = jnp.linalg.norm(int_soln - c @ omp_soln)
+        ok = jnp.logical_and(finite, r_gamp <= r_omp)
+        plgamp = jnp.where(ok, raw, omp_soln)
     else:
         plgamp = jnp.zeros((n,), a.dtype)
     return TwoStageResult(plomp=plomp, plgamp=plgamp, compressed=int_soln)

@@ -26,6 +26,7 @@ from jax import shard_map
 
 from ..config import AdmmConfig
 from ..ops.cplx import (
+    LadderArrays,
     Pair,
     add,
     embed_hermitian,
@@ -42,7 +43,7 @@ from ..ops.pair_solver import (
     magnitude_prox_cols_elem,
     project_cols_to_magnitude,
 )
-from ..ops.prox import profile_ladder
+from ..ops.prox import profile_ladder, profile_ladder_arrays
 from .mesh import BATCH_AXIS, ROWS_AXIS
 
 
@@ -50,14 +51,7 @@ def _t(p: Pair) -> Pair:
     return Pair(jnp.swapaxes(p.re, -1, -2), jnp.swapaxes(p.im, -1, -2))
 
 
-def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
-                    axis, m_global: int, prox_kind: str = "spectral_profile"):
-    """One recovery with measurement rows sharded over ``axis``.
-
-    ``a_loc``: (m_loc, n) Pair; ``b_loc``: (m_loc,).  Replicated state (X,
-    Z, duals over n, U, the warm eigenbasis) is computed identically on
-    every shard; row-local state (Y, M-dual) stays sharded.
-    """
+def _psum_helpers(axis):
     if axis is None:
         def psum(v):
             return v
@@ -68,24 +62,15 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
     def psum_p(p: Pair) -> Pair:
         return Pair(psum(p.re), psum(p.im))
 
-    m_loc, n = a_loc.shape
-    r = min(cfg.rank, m_global, n)
-
     def gnorm2(p: Pair):
         return psum(jnp.sum(p.re * p.re + p.im * p.im))
 
-    # ---- normalization (ref: inferLowRankV4_multi.m:27-38)
-    a_norm = jnp.sqrt(gnorm2(a_loc) / m_global)
-    a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
-    b_norm = jnp.sqrt(psum(jnp.sum(b_loc * b_loc)))
-    b_norm = jnp.where(b_norm < cfg.tol_abs, 1.0, b_norm)
-    a_loc = Pair(a_loc.re / a_norm, a_loc.im / a_norm)
-    b_loc = b_loc / b_norm
+    return psum, psum_p, gnorm2
 
-    a_conj = Pair(a_loc.re, -a_loc.im)                    # (m_loc, n)
-    a_t = _t(a_loc)                                       # (n, m_loc)
 
-    # ---- U = inv(A^H A + I): local partial Gram, psum, replicated Cholesky
+def _precompute_u_sharded(a_loc: Pair, psum_p):
+    """U = inv(A^H A + I): local partial Gram, psum, replicated Cholesky."""
+    n = a_loc.shape[-1]
     gram = psum_p(matmul(_t(Pair(a_loc.re, -a_loc.im)), a_loc))
     gram = Pair(0.5 * (gram.re + gram.re.T)
                 + jnp.eye(n, dtype=jnp.float32),
@@ -95,9 +80,16 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
     eye2n = jnp.eye(2 * n, dtype=jnp.float32)
     wtri = jax.scipy.linalg.solve_triangular(chol, eye2n, lower=True)
     u_mat = unembed(wtri.T @ wtri, n)
-    u_conj = Pair(u_mat.re, -u_mat.im)
+    return Pair(u_mat.re, -u_mat.im)                      # U^T (u_conj)
 
-    # ---- spectral init (ref :561-574): scaled Gram psum'd, replicated eigh
+
+def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p):
+    """Spectral init (ref :561-574): scaled Gram psum'd, replicated eigh.
+
+    Rows with zero norm (masked-out / padding rows) contribute nothing to
+    the Gram, so a masked train split yields exactly the gathered-rows
+    initialization."""
+    n = a_loc.shape[-1]
     row_norm = jnp.sqrt(jnp.maximum(
         jnp.sum(a_loc.re ** 2 + a_loc.im ** 2, axis=-1), 1e-30))
     scal = jnp.where(row_norm > 1e-15, b_loc / row_norm, 1.0)
@@ -107,11 +99,20 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
     w_s, v_emb = eigh_jacobi(embed_hermitian(g_s))
     w_r = jnp.sqrt(jnp.maximum(w_s[0::2][:r], 0.0))
     vecs = v_emb[:, 0::2][:, :r]
-    xs = _t(Pair(vecs[:n] * w_r[None, :], vecs[n:] * w_r[None, :]))  # (r, n)
+    return _t(Pair(vecs[:n] * w_r[None, :], vecs[n:] * w_r[None, :]))
 
-    ladder = profile_ladder(nt, nr, m_global, n, False,
-                            cfg.profile.rank_mults, cfg.profile.fractions,
-                            mode=cfg.profile.ladder)
+
+def _make_admm(a_loc: Pair, b_loc, u_conj: Pair, ladder, cfg: AdmmConfig,
+               psum, psum_p, gnorm2, m_eff: int, nt: int, nr: int,
+               prox_kind: str):
+    """Build the row-sharded InferADMM closure over (possibly masked) local
+    rows.  ``ladder`` may be a static tuple or traced :class:`LadderArrays`
+    (the latter lets the rank-1 retry/refinement flag select ladder DATA
+    instead of tracing a second solver); ``m_eff`` is the ACTIVE global row
+    count feeding the residual thresholds (ref :363-375)."""
+    m_loc, n = a_loc.shape
+    a_conj = Pair(a_loc.re, -a_loc.im)                    # (m_loc, n)
+    a_t = _t(a_loc)                                       # (n, m_loc)
 
     def _spectral_prox(z: Pair, v0):
         """Replicated spectral-profile prox with warm perturbative basis."""
@@ -143,6 +144,8 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
         def z_prox(z: Pair, mu, v0):
             del mu
             return _spectral_prox(z, v0)
+
+    m_global = m_eff
 
     def admm(x0: Pair, scale_by_row: bool):
         """Row-sharded InferADMM in transposed pair layout (ref :281-386)."""
@@ -271,20 +274,249 @@ def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
         out = lax.while_loop(cond, body, init)
         return out["opt_x"], out["opt_y"]
 
-    # ---- inferLowRankImpl scaffold (ref :111-271), no CV restarts
-    x, _ = admm(xs, scale_by_row=True)
-    # orthonormalize columns: replicated r x r Gram eigendecomposition
+    return admm
+
+
+def _orthonormalize_sharded(x: Pair) -> Pair:
+    """Column orthonormalization: replicated r x r Gram eig (ref :263-264)."""
     g = matmul(Pair(x.re, -x.im), _t(x))
     g = Pair(0.5 * (g.re + g.re.T), 0.5 * (g.im - g.im.T))
     _, v_emb = eigh_jacobi(embed_hermitian(g))
     vecs = v_emb[:, 0::2]
     v_c = Pair(vecs[:x.shape[0]], vecs[x.shape[0]:])
-    x = matmul(_t(v_c), x)
+    return matmul(_t(v_c), x)
+
+
+def _solve_one_pair(a_loc: Pair, b_loc, nt: int, nr: int, cfg: AdmmConfig,
+                    axis, m_global: int, prox_kind: str = "spectral_profile"):
+    """One recovery with measurement rows sharded over ``axis`` — the
+    REDUCED scaffold (no CV restarts / quality gate / rank-1 retry /
+    rollback); see :func:`_solve_multi_one_pair` for the production one.
+
+    ``a_loc``: (m_loc, n) Pair; ``b_loc``: (m_loc,).  Replicated state (X,
+    Z, duals over n, U, the warm eigenbasis) is computed identically on
+    every shard; row-local state (Y, M-dual) stays sharded.
+    """
+    psum, psum_p, gnorm2 = _psum_helpers(axis)
+    m_loc, n = a_loc.shape
+    r = min(cfg.rank, m_global, n)
+
+    # ---- normalization (ref: inferLowRankV4_multi.m:27-38)
+    a_norm = jnp.sqrt(gnorm2(a_loc) / m_global)
+    a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
+    b_norm = jnp.sqrt(psum(jnp.sum(b_loc * b_loc)))
+    b_norm = jnp.where(b_norm < cfg.tol_abs, 1.0, b_norm)
+    a_loc = Pair(a_loc.re / a_norm, a_loc.im / a_norm)
+    b_loc = b_loc / b_norm
+
+    u_conj = _precompute_u_sharded(a_loc, psum_p)
+    xs = _spectral_init_sharded(a_loc, b_loc, r, psum_p)
+
+    ladder = profile_ladder(nt, nr, m_global, n, False,
+                            cfg.profile.rank_mults, cfg.profile.fractions,
+                            mode=cfg.profile.ladder)
+    admm = _make_admm(a_loc, b_loc, u_conj, ladder, cfg, psum, psum_p,
+                      gnorm2, m_global, nt, nr, prox_kind)
+
+    # ---- inferLowRankImpl scaffold (ref :111-271), no CV restarts
+    x, _ = admm(xs, scale_by_row=True)
+    x = _orthonormalize_sharded(x)
     x, _ = admm(x, scale_by_row=False)
     # full-data polish (ref :89-101 refinement, without rollback)
     x, _ = admm(Pair(x.re[None, :], x.im[None, :]), scale_by_row=True)
     s = b_norm / a_norm
     return Pair(x.re[0] * s, x.im[0] * s)
+
+
+def _solve_multi_one_pair(a_loc: Pair, b_loc, key, nt: int, nr: int,
+                          cfg: AdmmConfig, axis, m_global: int,
+                          prox_kind: str = "spectral_profile"):
+    """The PRODUCTION ``inferLowRankV4_multi`` scaffold with row-sharded
+    inner solves (ref: inferLowRankV4_multi.m:5-109): CV restarts with the
+    95/5 train/test split, held-out quality gate, rank-1 retry, best-restart
+    selection, full-data refinement with similarity rollback.
+
+    Row subsets are realized as 0/1 row MASKS instead of gathers: a masked
+    row (A_i = 0, b_i = 0) contributes nothing to any Gram/psum/prox (the
+    solver's inactive-row contract), so each shard keeps its contiguous row
+    slice and no cross-shard gather is needed for the splits.  Per-restart
+    U = inv(A_tr^H A_tr + I) is recomputed from the masked Gram.
+
+    Deviation (documented): the rank-1 retry is a traced ``lax.cond``
+    rather than the single-chip batch solver's host-gathered staging —
+    host gathering across a sharded mesh would serialize the batch; under
+    a batch vmap the cond lowers to a select that also runs the retry for
+    converged instances (same trade as the pre-r04 single-jit form).
+    """
+    psum, psum_p, gnorm2 = _psum_helpers(axis)
+    m_loc, n = a_loc.shape
+    r = min(cfg.rank, m_global, n)
+    thr = cfg.quality_threshold
+    pl = cfg.profile
+    n_restarts = cfg.n_restarts
+
+    # ---- global normalization (ref :27-38)
+    a_norm = jnp.sqrt(gnorm2(a_loc) / m_global)
+    a_norm = jnp.where(a_norm < cfg.tol_abs, 1.0, a_norm)
+    b_norm = jnp.sqrt(psum(jnp.sum(b_loc * b_loc)))
+    b_norm = jnp.where(b_norm < cfg.tol_abs, 1.0, b_norm)
+    a_loc = Pair(a_loc.re / a_norm, a_loc.im / a_norm)
+    b_loc = b_loc / b_norm
+
+    # local row offset of this shard (masks are computed on global indices)
+    if axis is None:
+        row0 = 0
+    else:
+        row0 = lax.axis_index(axis) * m_loc
+    local_ids = row0 + jnp.arange(m_loc)
+
+    lm_tr = int(math.floor(m_global * cfg.cc_frac))
+    lad_tr = profile_ladder_arrays(nt, nr, lm_tr, n, False, pl.rank_mults,
+                                   pl.fractions, mode=pl.ladder)
+    lad_tr_r1 = profile_ladder_arrays(nt, nr, lm_tr, n, True, pl.rank_mults,
+                                      pl.fractions, mode=pl.ladder)
+    lad_full = profile_ladder_arrays(nt, nr, m_global, n, False,
+                                     pl.rank_mults, pl.fractions,
+                                     mode=pl.ladder)
+    lad_full_r1 = profile_ladder_arrays(nt, nr, m_global, n, True,
+                                        pl.rank_mults, pl.fractions,
+                                        mode=pl.ladder)
+
+    def quality(a_m: Pair, b_m, x: Pair):
+        """1 - ||(|A_te x|) - b_te|| / ||b_te|| over masked test rows
+        (ref :68)."""
+        if x.re.ndim == 1:
+            x = Pair(x.re[None, :], x.im[None, :])
+        ax = matmul(x, _t(a_m))                           # (1, m_loc)
+        amp = jnp.sqrt(jnp.maximum(ax.re ** 2 + ax.im ** 2, 0.0))[0]
+        num = jnp.sqrt(psum(jnp.sum((amp - b_m) ** 2 * (b_m > 0))))
+        den = jnp.sqrt(psum(jnp.sum(b_m * b_m)))
+        return 1.0 - num / jnp.maximum(den, 1e-30)
+
+    def one_restart(train_mask_g):
+        """train_mask_g: (m_global,) replicated 0/1 mask.  (The sharded
+        spectral init is a deterministic full eigh of the psum'd Gram —
+        no per-restart randomness beyond the split itself.)"""
+        tr = train_mask_g[local_ids]                      # (m_loc,)
+        a_tr = Pair(a_loc.re * tr[:, None], a_loc.im * tr[:, None])
+        b_tr = b_loc * tr
+        te = 1.0 - tr
+        a_te = Pair(a_loc.re * te[:, None], a_loc.im * te[:, None])
+        b_te = b_loc * te
+
+        u_tr = _precompute_u_sharded(a_tr, psum_p)
+        xs = _spectral_init_sharded(a_tr, b_tr, r, psum_p)
+
+        def run(ladder):
+            admm = _make_admm(a_tr, b_tr, u_tr, ladder, cfg, psum, psum_p,
+                              gnorm2, lm_tr, nt, nr, prox_kind)
+            x, _ = admm(xs, scale_by_row=True)
+            x = _orthonormalize_sharded(x)
+            x, _ = admm(x, scale_by_row=False)
+            return x
+
+        x = run(lad_tr)
+        q = quality(a_te, b_te, x)
+        if prox_kind != "nuclear":
+            poor = q < thr
+
+            def retry():
+                xr = run(lad_tr_r1)
+                return xr, quality(a_te, b_te, xr)
+
+            x, q = lax.cond(poor, retry, lambda: (x, q))
+            rank_one = poor
+        else:
+            rank_one = jnp.asarray(False)
+        return x, q, rank_one
+
+    best = None
+    for i in range(n_restarts):
+        # same per-restart PRNG derivation as the unsharded pair solver
+        # (_solve_lowrank_core): fold_in(key, i) -> split; [0] drives the
+        # train/test permutation (masks replace the gathered index
+        # vectors), [1] the spectral initialization
+        k_i = jax.random.fold_in(key, i)
+        k_split, _ = jax.random.split(k_i)
+        perm = jax.random.permutation(k_split, m_global)
+        train_mask = jnp.zeros((m_global,), jnp.float32).at[
+            perm[:lm_tr]].set(1.0)
+        x, q, rank_one = one_restart(train_mask)
+        if best is None:
+            best = (x, q, rank_one)
+        else:
+            better = q > best[1]
+            best = (Pair(jnp.where(better, x.re, best[0].re),
+                         jnp.where(better, x.im, best[0].im)),
+                    jnp.maximum(q, best[1]),
+                    jnp.where(better, rank_one, best[2]))
+    x_max, q_max, rank_one = best
+    x_max = Pair(x_max.re[None, :], x_max.im[None, :])    # (1, n)
+
+    # full-data refinement with the rank-one flag selecting ladder DATA
+    # (ref :89-101); similarity rollback below
+    if prox_kind != "nuclear":
+        lad_ref = LadderArrays(
+            jnp.where(rank_one, lad_full_r1.ranks, lad_full.ranks),
+            jnp.where(rank_one, lad_full_r1.fracs, lad_full.fracs))
+    else:
+        lad_ref = lad_full
+    u_full = _precompute_u_sharded(a_loc, psum_p)
+    admm_full = _make_admm(a_loc, b_loc, u_full, lad_ref, cfg, psum, psum_p,
+                           gnorm2, m_global, nt, nr, prox_kind)
+    x_ref, _ = admm_full(x_max, scale_by_row=True)
+
+    dot_re = jnp.sum(x_max.re * x_ref.re + x_max.im * x_ref.im)
+    dot_im = jnp.sum(x_max.re * x_ref.im - x_max.im * x_ref.re)
+
+    def fro(p):
+        return jnp.sqrt(jnp.sum(p.re ** 2 + p.im ** 2))
+
+    similarity = (jnp.sqrt(dot_re ** 2 + dot_im ** 2)
+                  / jnp.maximum(fro(x_max) * fro(x_ref), 1e-30))
+    rollback = jnp.logical_and(q_max > thr,
+                               similarity < cfg.similarity_threshold)
+    x = Pair(jnp.where(rollback, x_max.re, x_ref.re),
+             jnp.where(rollback, x_max.im, x_ref.im))
+    s = b_norm / a_norm
+    return Pair(x.re[0] * s, x.im[0] * s), q_max
+
+
+@partial(jax.jit, static_argnames=("mesh", "nt", "nr", "cfg", "prox_kind"))
+def solve_lowrank_multi_sharded_pair(mesh: Mesh, keys, a: Pair, b,
+                                     nt: int, nr: int,
+                                     cfg: AdmmConfig = AdmmConfig(),
+                                     prox_kind: str = "spectral_profile"):
+    """Batch of PRODUCTION-scaffold recoveries over a (batch x rows) mesh.
+
+    The row-sharded twin of :func:`..ops.pair_solver.solve_lowrank_multi_pair`
+    — CV restarts, held-out quality gate, rank-1 retry, best-restart
+    selection, full-data refinement with similarity rollback
+    (ref: inferLowRankV4_multi.m:5-109) — so a multi-chip deployment runs
+    the SAME algorithm as the single-chip solver (see
+    :func:`_solve_multi_one_pair` for the mask-based split realization).
+
+    ``keys``: (B, 2) uint32 per-instance PRNG keys; ``a``: (B, m, n) Pair;
+    ``b``: (B, m).  Returns ``(x (B, n) Pair, quality (B,))``, replicated
+    over rows and sharded over batch.
+    """
+    m_global = a.shape[1]
+
+    def local_fn(keys_l, a_l, b_l):
+        def solve(k, ai, bi):
+            return _solve_multi_one_pair(ai, bi, k, nt, nr, cfg,
+                                         axis=ROWS_AXIS, m_global=m_global,
+                                         prox_kind=prox_kind)
+        return jax.vmap(solve)(keys_l, a_l, b_l)
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS),
+                             P(BATCH_AXIS, ROWS_AXIS, None),
+                             P(BATCH_AXIS, ROWS_AXIS)),
+                   out_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS)),
+                   check_vma=False)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return fn(keys, a, b)
 
 
 @partial(jax.jit, static_argnames=("mesh", "nt", "nr", "cfg", "prox_kind"))

@@ -40,6 +40,15 @@ class MobilityTrace(NamedTuple):
     estimates: np.ndarray       #: (T, n) channel estimate per window
 
 
+def _relative_rss_error(rss_pred, rss_actual, eps: float = 1e-12) -> float:
+    """Mean relative RSS prediction error (ref: Evaluate_rss.m:1-7) with a
+    floor on the denominator: a zero/near-zero amplitude probe (a dead
+    beam or a padded row) must not yield inf/NaN, which would permanently
+    saturate the probe-budget loop."""
+    denom = np.maximum(np.abs(rss_actual), eps)
+    return float(np.mean(np.abs(rss_pred - rss_actual) / denom))
+
+
 def _pad_window(cb_rows, rss_amps, window: List[int], max_window: int):
     """Static-shape sliding window: always (max_window, n) / (max_window,),
     with the unoccupied tail as INACTIVE rows (A_i = 0, b_i = 0).
@@ -69,13 +78,20 @@ def _pad_window(cb_rows, rss_amps, window: List[int], max_window: int):
 
 def _solver_takes_ladder_m(solver) -> bool:
     """Whether a tracking solver callback accepts the ``ladder_m`` kwarg
-    (custom callbacks without it keep working, at padded-ladder fidelity)."""
+    (custom callbacks without it keep working, at padded-ladder fidelity).
+
+    An explicit ``ladder_m`` parameter in the signature, or the
+    ``solver.takes_ladder_m = True`` attribute, opts in.  A bare
+    ``**kwargs`` does NOT: a legacy callback that merely swallows kwargs
+    would silently receive (and likely ignore) ladder_m while the tracker
+    believed active-count ladder selection was in effect."""
+    if getattr(solver, "takes_ladder_m", False):
+        return True
     try:
         params = inspect.signature(solver).parameters
     except (TypeError, ValueError):
         return False
-    return ("ladder_m" in params
-            or any(p.kind == p.VAR_KEYWORD for p in params.values()))
+    return "ladder_m" in params
 
 
 def _solver_cc_frac(solver, default: float) -> float:
@@ -83,8 +99,19 @@ def _solver_cc_frac(solver, default: float) -> float:
     must evaluate the train-ladder boundary with the SOLVER's cc_frac, not
     the tracking config's (they may carry different AdmmConfigs).  Solver
     callbacks built by this module set ``solver.cc_frac``; custom callbacks
-    that accept ladder_m should do the same if their fraction differs."""
-    return float(getattr(solver, "cc_frac", default))
+    that accept ladder_m must do the same if their fraction differs — warn
+    when the attribute is absent so a mismatched snap is not silent."""
+    cc = getattr(solver, "cc_frac", None)
+    if cc is None:
+        import warnings
+        warnings.warn(
+            "tracking solver accepts ladder_m but carries no .cc_frac "
+            "attribute; ladder snapping falls back to the tracking "
+            f"config's cc_frac={default} — set solver.cc_frac to the "
+            "fraction the solver's own AdmmConfig uses",
+            stacklevel=3)
+        cc = default
+    return float(cc)
 
 
 def _ladder_m_for_window(m_active: int, m_padded: int, n: int,
@@ -164,7 +191,7 @@ def track(key, cb_rows, rss_amps, cfg: ArrayConfig,
         rss_cur = rss_amps[np.asarray(cur)]
 
         rss_eval = np.abs(cb_cur @ h)                    # Evaluate_rss.m:1-7
-        err = float(np.mean(np.abs(rss_eval - rss_cur) / rss_cur))
+        err = _relative_rss_error(rss_eval, rss_cur)
         errors[t] = err
         if err < mob.threshold:
             m_budget = 0
@@ -328,8 +355,7 @@ def track_simulated(key, cb_rows, rss_amps, cfg: ArrayConfig,
 
         test = np.arange(start + m_used, start + p)   # nonempty by m_used cap
         rss_eval = np.abs(cb_rows[test] @ h)
-        err = float(np.mean(np.abs(rss_eval - rss_amps[test])
-                            / rss_amps[test]))
+        err = _relative_rss_error(rss_eval, rss_amps[test])
         errors[t] = err
         if err < mob.threshold:
             m_budget = max(0, m_budget - m_budget // 5 - 1)

@@ -78,6 +78,9 @@ class SweepResult(NamedTuple):
     grid: np.ndarray                #: swept values (M, SNR, or range)
     nmse: Dict[str, np.ndarray]     #: method -> (len(grid),) mean NMSE
     aoda_err: Dict[str, np.ndarray]  #: method -> mean AoD/AoA error (deg)
+    #: method -> (len(grid), n_trials) per-trial NMSE (variance control for
+    #: the committed accuracy artifacts; empty dict on legacy paths)
+    nmse_trials: Dict[str, np.ndarray] = {}
 
 
 def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
@@ -174,9 +177,13 @@ def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):
 
 
 def _evaluate(out, rep, ch, sim: SimulationConfig):
-    """NMSE + angle errors per method (ref: Evaluation_Recovery.m:73-214)."""
+    """NMSE + angle errors per method (ref: Evaluation_Recovery.m:73-214).
+
+    Returns ``(mean_nmse, mean_angle_err, per_trial_nmse)`` — the per-trial
+    vector feeds the variance columns of the committed accuracy artifacts.
+    """
     cfg = sim.array
-    nmse_d, ang_d = {}, {}
+    nmse_d, ang_d, trials_d = {}, {}, {}
     for name, est in out.items():
         est_j = jnp.asarray(est)
         if est_j.shape[-1] == rep.ad.shape[1]:       # sparse z -> vec H
@@ -188,8 +195,10 @@ def _evaluate(out, rep, ch, sim: SimulationConfig):
         else:                                        # direct vec H estimate
             vec_est = est_j
             ang_d[name] = float("nan")
-        nmse_d[name] = float(jnp.mean(nmse_h_projection(vec_est, ch.vec_h)))
-    return nmse_d, ang_d
+        per = np.asarray(nmse_h_projection(vec_est, ch.vec_h))
+        trials_d[name] = per
+        nmse_d[name] = float(np.mean(per))
+    return nmse_d, ang_d, trials_d
 
 
 def _one_cell(key, sim: SimulationConfig, mt: int, mr: int,
@@ -236,14 +245,17 @@ def sweep_measurements(key, m_grid: Sequence[int],
     """Error vs measurement count (Vs_M)."""
     nmse_acc: Dict[str, list] = {}
     ang_acc: Dict[str, list] = {}
+    tr_acc: Dict[str, list] = {}
     for i, m in enumerate(m_grid):
         mt, mr = _mt_mr(sim, m)
-        nm, an = _one_cell(jax.random.fold_in(key, i), sim, mt, mr,
-                           searching_area)
+        nm, an, tr = _one_cell(jax.random.fold_in(key, i), sim, mt, mr,
+                               searching_area)
         for k, v in nm.items():
             nmse_acc.setdefault(k, []).append(v)
         for k, v in an.items():
             ang_acc.setdefault(k, []).append(v)
+        for k, v in tr.items():
+            tr_acc.setdefault(k, []).append(v)
         # every cell has different shapes, so nothing compiled is reusable;
         # dropping executables bounds the live-JIT count (XLA:CPU's LLVM
         # engine fails with "Cannot allocate memory" once too many
@@ -251,7 +263,9 @@ def sweep_measurements(key, m_grid: Sequence[int],
         jax.clear_caches()
     return SweepResult(grid=np.asarray(m_grid),
                        nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
-                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
+                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()},
+                       nmse_trials={k: np.stack(v)
+                                    for k, v in tr_acc.items()})
 
 
 def sweep_snr(key, snr_grid: Sequence[float], m: int,
@@ -260,22 +274,27 @@ def sweep_snr(key, snr_grid: Sequence[float], m: int,
     """Error vs SNR (Vs_SNR)."""
     nmse_acc: Dict[str, list] = {}
     ang_acc: Dict[str, list] = {}
+    tr_acc: Dict[str, list] = {}
     for i, snr in enumerate(snr_grid):
         sim_i = dataclasses.replace(sim, snr_db=float(snr))
         mt, mr = _mt_mr(sim_i, m)
-        nm, an = _one_cell(jax.random.fold_in(key, i), sim_i, mt, mr,
-                           searching_area)
+        nm, an, tr = _one_cell(jax.random.fold_in(key, i), sim_i, mt, mr,
+                               searching_area)
         for k, v in nm.items():
             nmse_acc.setdefault(k, []).append(v)
         for k, v in an.items():
             ang_acc.setdefault(k, []).append(v)
+        for k, v in tr.items():
+            tr_acc.setdefault(k, []).append(v)
         # NOTE: no clear_caches() here — unlike sweep_measurements, every
         # SNR cell shares identical shapes, so the compiled solver is
         # reused across the whole grid (clearing would force a full
         # recompile per SNR point for no memory benefit).
     return SweepResult(grid=np.asarray(snr_grid),
                        nmse={k: np.asarray(v) for k, v in nmse_acc.items()},
-                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()})
+                       aoda_err={k: np.asarray(v) for k, v in ang_acc.items()},
+                       nmse_trials={k: np.stack(v)
+                                    for k, v in tr_acc.items()})
 
 
 def measurements_needed_vs_range(key, ranges_deg: Sequence[float],

@@ -90,6 +90,12 @@ BATCH = 256         # kernel loop: independent recoveries, one codebook
 ITERS = 100         # kernel loop: scanned ADMM iterations per timed call
 SOLVE_BATCH = int(os.environ.get("TWOACE_BENCH_SOLVE_BATCH", 64))
 MAXITER = 500       # reference iteration budget (inferLowRankV4_multi.m:13)
+# Mixed-precision warm phase (config.AdmmConfig.warm_iters): measured A/B
+# at batch 256 — warm 0: 87.3 rec/s at -112.5 dB median; warm 80: 95.6
+# rec/s at -94.8 dB; warm 120: 97.6 at -74.5; warm 160: 73.1 at -71.0.
+# 80 is the knee: +9.5% throughput, accuracy still ~60 dB beyond any
+# downstream need.  Off (0) via env for pure-f32 A/B runs.
+WARM_ITERS = int(os.environ.get("TWOACE_BENCH_WARM_ITERS", 80))
 
 
 def build_problem(seed: int = 0):
@@ -216,7 +222,7 @@ def bench_full_solve():
     from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
 
     ap, b, x_true = build_solve_problem()
-    cfg = AdmmConfig(maxiter=MAXITER)
+    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS)
     key = jax.random.PRNGKey(0)
 
     t_c = time.perf_counter()
@@ -267,7 +273,7 @@ def bench_single_latency(reps: int = 10):
     ap = Pair(jnp.asarray(a.real, jnp.float32),
               jnp.asarray(a.imag, jnp.float32))
     b = jnp.asarray(np.abs(a @ x), jnp.float32)
-    cfg = AdmmConfig(maxiter=MAXITER)
+    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS)
     key = jax.random.PRNGKey(0)
     int(np.asarray(solve_lowrank_multi_pair(key, ap, b, NT, NR, cfg).iters))
     # synchronous: device + tunnel round-trip per call
@@ -314,6 +320,7 @@ def main():
         "solve_batch": SOLVE_BATCH,
         "maxiter": MAXITER,
         "matmul_precision": AdmmConfig().matmul_precision,
+        "warm_iters": WARM_ITERS,
         # first solve_lowrank_multi_pair_batch call incl. trace+compile of
         # the three staged jits (near-zero when .jax_cache is warm)
         "first_call_s": round(first_call_s, 1),

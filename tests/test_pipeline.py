@@ -297,3 +297,91 @@ def test_warm_sweep_coarse_to_fine():
             / np.linalg.norm(x_true) ** 2)
     assert 10 * np.log10(max(nmse, 1e-30)) < -25
     assert quals[-1] > 0.95
+
+
+def test_anchored_refine_preserves_unmeasured_directions():
+    """The proximal anchor (refine_lowrank_pair anchor_weight): directions
+    the measurement rows do not constrain must stay at the previous
+    estimate instead of drifting — the mechanism letting the mobility
+    tracker accumulate Rx-sector diversity across kron-probed windows
+    (ref probing structure: RSS_Mobility.m cb = kron(rx_cb, tx_cb))."""
+    import jax.numpy as jnp
+
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.ops.pair_solver import refine_lowrank_pair
+
+    nt = nr = 4
+    n = nt * nr
+    rng = np.random.default_rng(0)
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    vh = (1.3 * np.exp(0.4j)
+          * np.outer(steer(nr, 0.5), steer(nt, -0.3).conj())).T.reshape(-1)
+    # ONE rx sector x 12 tx sectors: constrains only 1 scalar of the rx side
+    w = np.exp(1j * rng.integers(0, 4, nr) * (np.pi / 2)) / np.sqrt(nr)
+    rows = np.stack([np.kron(
+        np.exp(1j * rng.integers(0, 4, nt) * (np.pi / 2)) / np.sqrt(nt), w)
+        for _ in range(12)])
+    b = jnp.asarray(np.abs(rows @ vh), jnp.float32)
+    ap = Pair(jnp.asarray(rows.real, jnp.float32),
+              jnp.asarray(rows.imag, jnp.float32))
+    x0 = Pair(jnp.asarray(vh.real, jnp.float32),
+              jnp.asarray(vh.imag, jnp.float32))   # anchor = truth
+
+    cfg = AdmmConfig(maxiter=150)
+    res_a = refine_lowrank_pair(ap, b, x0, nt, nr, cfg, use_rank_one=True,
+                                anchor_weight=3.0)
+    xa = np.asarray(res_a.x.re) + 1j * np.asarray(res_a.x.im)
+
+    def dist(x):
+        c = np.vdot(x, vh) / max(np.vdot(x, x).real, 1e-30)
+        return np.linalg.norm(vh - c * x) / np.linalg.norm(vh)
+
+    # anchored at the truth, the under-determined solve must stay there
+    assert dist(xa) < 0.15, dist(xa)
+    assert float(res_a.quality) > 0.8
+
+
+def test_warm_tracking_solver_runs_and_resets(key):
+    """make_warm_pair_solver end-to-end through track() on a tiny kron
+    workload: runs, produces finite estimates, and its reset() clears the
+    carried state."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.pipeline.mobility import (MobilityConfig,
+                                              make_warm_pair_solver, track)
+
+    nt = nr = 4
+    rng = np.random.default_rng(1)
+    p, t_w = 10, 4
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    vh = (np.outer(steer(nr, 0.2), steer(nt, -0.5).conj())).T.reshape(-1)
+    rows = []
+    for t in range(t_w):
+        w = np.exp(1j * rng.integers(0, 4, nr) * (np.pi / 2)) / np.sqrt(nr)
+        for _ in range(p):
+            f = np.exp(1j * rng.integers(0, 4, nt) * (np.pi / 2)) / np.sqrt(nt)
+            rows.append(np.kron(f, w))
+    rows = np.stack(rows).astype(np.complex64)
+    amps = np.abs(rows @ vh).astype(np.float32)
+
+    admm = AdmmConfig(maxiter=100)
+    mob = MobilityConfig(window_probes=p, max_window=16, admm=admm)
+    solver = make_warm_pair_solver(
+        t2_cfg(nt, nr), admm, use_rank_one=True)
+    trace = track(key, rows, amps, t2_cfg(nt, nr), mob, solver=solver,
+                  static_pad=True)
+    assert np.all(np.isfinite(trace.estimates))
+    assert trace.rss_error.shape == (t_w,)
+    solver.reset()
+
+
+def t2_cfg(nt, nr):
+    from twoace_tpu.config import ArrayConfig
+
+    return ArrayConfig(nt=nt, nr=nr)

@@ -290,7 +290,9 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     maxiter: int = 500, sweeps: int = 1,
                     eig_mode: str = "perturb",
                     use_pallas: Optional[bool] = None,
-                    warm_iters: int = 0):
+                    warm_iters: int = 0,
+                    anchor: Optional[Pair] = None,
+                    anchor_weight: float = 0.0):
     """One InferADMM solve in transposed pair layout.
 
     Mirrors :func:`.admm.infer_admm` (ref: inferLowRankV4_multi.m:281-386):
@@ -321,11 +323,23 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
         use_pallas = pallas_default()
     use_pallas_prox = scale_by_row and use_pallas
 
+    # Proximal anchor (tracking mode): adds anchor_weight*||x - anchor||^2
+    # to the X-subproblem, so directions the current measurement rows do
+    # not constrain stay at the anchor instead of drifting — the mechanism
+    # by which the mobility tracker ACCUMULATES beam diversity across
+    # sliding windows (see pipeline.mobility.make_warm_pair_solver).
+    # U absorbs the extra ridge: inv(A^H A + (1 + w) I).
+    anchored = anchor is not None and anchor_weight > 0.0
+    if anchored and not has_z:
+        raise ValueError("proximal anchor requires the Z-constrained path")
     if u_mat is None:
-        u_mat = precompute_u_pair(a)
+        u_mat = precompute_u_pair(
+            a, reg=1.0 + (anchor_weight if anchored else 0.0))
     a_conj = Pair(a.re, -a.im)                                   # (m, n)
     a_t = _t(a)                                                  # (n, m)
     u_conj = Pair(u_mat.re, -u_mat.im)                           # U^T
+    if anchored:
+        anc = Pair(anchor_weight * anchor.re, anchor_weight * anchor.im)
 
     def a_mul(x):                                                # (r,n)->(r,m)
         return matmul(x, a_t)
@@ -370,6 +384,7 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
             and eig_mode == "perturb" and isinstance(v_basis, Pair)
             and isinstance(ladder, tuple)
             and not isinstance(ladder, LadderArrays)
+            and not anchored
             and os.environ.get("TWOACE_MEGAKERNEL", "1") != "0"):
         from .pallas.solver_kernel import fused_infer_admm
 
@@ -400,14 +415,19 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
         mu = c["mu"]
         inv_mu = 1.0 / mu
 
-        # X-update (ref :401-409)
+        # X-update (ref :401-409); the optional proximal anchor adds its
+        # weighted pull to the rhs (U already carries the matching ridge)
         if has_z:
             t = Pair(y0.re - c["m_dual"].re * inv_mu,
                      y0.im - c["m_dual"].im * inv_mu)
             rhs = add(ah_mul(t), Pair(z0.re - c["n_dual"].re * inv_mu,
                                       z0.im - c["n_dual"].im * inv_mu))
+            if anchored:
+                rhs = add(rhs, anc)
             x = matmul(rhs, u_conj)
         else:
+            # (anchor unsupported here: the z-free path's u_mat is a pinv,
+            # not a regularized inverse — tracking always runs with Z)
             t = Pair(y0.re - c["m_dual"].re * inv_mu,
                      y0.im - c["m_dual"].im * inv_mu)
             x = matmul(t, u_conj)                                # U = pinv^T'
@@ -1036,3 +1056,55 @@ def _solve_lowrank_core(key, a: Pair, b, nt: int, nr: int, cfg: AdmmConfig,
     return PairAdmmResult(x=Pair(x.re[0] * scale, x.im[0] * scale),
                           quality=q_max, converged=jnp.asarray(True),
                           iters=iters_total)
+
+
+@partial(jax.jit, static_argnames=("nt", "nr", "cfg", "prox_kind",
+                                   "ladder_m", "use_rank_one",
+                                   "anchor_weight"))
+def refine_lowrank_pair(a: Pair, b, x0: Pair, nt: int, nr: int,
+                        cfg: AdmmConfig = AdmmConfig(),
+                        prox_kind: str = "spectral_profile",
+                        ladder_m: Optional[int] = None,
+                        use_rank_one: bool = False,
+                        anchor_weight: float = 0.0) -> PairAdmmResult:
+    """Warm-started single refinement solve: the reference's full-data
+    refinement step (ref: inferLowRankV4_multi.m:89-101) as a standalone
+    entry, seeded by ``x0`` (n,) instead of spectral initialization.
+
+    The mobility tracker uses this to warm-start window t from window
+    t-1's estimate (the reference re-solves cold per window,
+    RSS_Mobility.m:155-188; warm-starting accumulates cross-window beam
+    diversity and typically converges in a fraction of the iterations).
+    ``quality`` in the result is the FULL-data fit 1 - ||(|A x|) - b||/||b||
+    over active (b > 0) rows — callers gate on it and fall back to the
+    full scaffold when the warm path decays.
+
+    ``anchor_weight > 0`` adds the proximal tracking term
+    ``anchor_weight * ||x - x0||^2`` to the X-subproblem: directions the
+    current window's rows do not measure stay at the previous estimate
+    instead of being re-randomized, which is what lets a sliding-window
+    tracker accumulate beam diversity across windows (the testbed's kron
+    probing shows each window only ~2 Rx sectors).
+    """
+    m, n = a.shape
+    a_n, b_n, a_norm, b_norm = _normalize_problem_pair(a, b, cfg.tol_abs)
+    lm = m if ladder_m is None else ladder_m
+    x0n = Pair((x0.re * (a_norm / b_norm))[None, :],
+               (x0.im * (a_norm / b_norm))[None, :])
+    ladder = (None if prox_kind == "nuclear" else
+              profile_ladder(nt, nr, lm, n, use_rank_one,
+                             cfg.profile.rank_mults, cfg.profile.fractions,
+                             mode=cfg.profile.ladder))
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        x, _, converged, it = infer_admm_pair(
+            a_n, b_n, x0n, scale_by_row=True, nt=nt, nr=nr, ladder=ladder,
+            prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
+            tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
+            eig_mode="perturb", use_pallas=False,
+            warm_iters=cfg.warm_iters,
+            anchor=x0n if anchor_weight > 0.0 else None,
+            anchor_weight=anchor_weight)
+        q = _quality_pair(a_n, b_n, x)
+    s = b_norm / a_norm
+    return PairAdmmResult(x=Pair(x.re[0] * s, x.im[0] * s), quality=q,
+                          converged=converged, iters=it)

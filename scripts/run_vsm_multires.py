@@ -129,7 +129,7 @@ def main():
                 rows_l.append(rows)
             xs, q = solve_batch(rows_l, b_l)
             vals = [nmse_db(xs[t], vec_h[t]) for t in range(trials)]
-            raw[arm].append([round(v, 2) for v in vals])
+            raw[arm].append([round(float(v), 2) for v in vals])
             out[arm].append({"m": m,
                              "nmse_db_mean": round(float(np.mean(vals)), 2),
                              "nmse_db_std": round(float(np.std(vals)), 2),

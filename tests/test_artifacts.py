@@ -127,3 +127,46 @@ def test_breakdown_artifact_crossover_relations():
     # ...and removing the Z-prox entirely bounds the achievable win
     assert v["no_zprox"] > v["full_xla"]
     assert v["no_zprox"] / v["full_xla"] < 1.5
+
+
+def test_multires_artifact_relationship():
+    """VSM_multires_r04.json (VERDICT r03 #2 — the paper's namesake
+    capability, finally measured): A2 through tier-aware multires sampling
+    of the SHIPPED calibration-folded codebook vs A2 through the shipped
+    plain random codebook at equal M.  Measured honest result: the two
+    arms TIE within error bars on synthetic Eq.-23 channels in full-channel
+    NMSE (the multires benefit on hardware is calibration robustness at
+    coarse tiers, not synthetic-NMSE gain); pin the tie and the shared
+    monotone trend so a tier-sampling regression (e.g. a broken row-offset
+    map) fails loudly."""
+    d = _load("VSM_multires_r04.json")
+    m = np.asarray(d["config"]["m_grid"])
+    mr = np.asarray([p["nmse_db_mean"] for p in d["curves"]["multires"]])
+    rd = np.asarray([p["nmse_db_mean"] for p in d["curves"]["random"]])
+    sel = m >= 361
+    # both arms recover well in the full-resolution regime
+    assert (mr[sel] <= -8.0).all(), mr.tolist()
+    assert (rd[sel] <= -8.0).all(), rd.tolist()
+    # and track each other within a few dB at every point (the tie)
+    assert (np.abs(mr - rd) <= 4.0).all(), (mr - rd).tolist()
+    # coarse tiers cannot pin the full channel (16-dim subspace at tier 1)
+    assert (mr[m <= 96] > -3.0).all(), mr.tolist()
+
+
+def test_bench_sweep_r04_warm_phase_bounds():
+    """BENCH_sweep_r04.json: the mixed-precision warm phase
+    (AdmmConfig.warm_iters=80) must keep its measured win over pure f32
+    at every batch size without giving up convergence-class accuracy
+    (measured r04: 59.7/84.3/94.7 vs 43.8/69.5/86.9 rec/s at -95 dB vs
+    -113 dB median)."""
+    d = _load("BENCH_sweep_r04.json")
+    pts = {(p["solve_batch"], p["warm_iters"]): p for p in d["points"]}
+    for batch in (16, 64, 256):
+        warm = pts[(batch, 80)]
+        cold = pts[(batch, 0)]
+        assert warm["recoveries_per_s"] > cold["recoveries_per_s"], batch
+        # deep convergence in both modes (far beyond the ~-20 dB any
+        # downstream metric needs)
+        assert warm["median_nmse_db"] <= -80.0, warm
+        assert cold["median_nmse_db"] <= -100.0, cold
+    assert pts[(256, 80)]["recoveries_per_s"] > 90.0

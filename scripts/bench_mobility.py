@@ -14,10 +14,15 @@ effectively low-dimensional.  This bench reproduces that structure.
 
 Workload: rank-1 LOS channel, kron probe stream (one random 2-bit Rx
 sector per window x 62 random Tx sectors), slow angular drift
-(0.2 deg/window) plus an abrupt 25-degree jump at window 8 — so BOTH
+(0.1 deg/window) plus an abrupt 25-degree jump at window 20 — so BOTH
 branches of the adaptive budget rule (ref :167-175) must fire: the reset
 branch (err < 0.3 -> M = 0) during smooth tracking and the growth branch
-(M <- min(1.2M+1, 80)) after the jump.
+(M <- min(1.2M+1, 80)) after the jump.  The reset events are stochastic:
+with the Tx factor pinned, the prediction error on a NEW Rx sector is a
+pure scale ratio |c - 1| (c = ratio of the new sector's projection onto
+the estimated vs true Rx factor), which dips below 0.3 on a fraction of
+windows that grows as the anchored tracker accumulates Rx information —
+hence the 40-window horizon.
 
 Two trackers are timed:
   - cold:  the reference's per-window re-solve (make_pair_solver)
@@ -44,7 +49,7 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_workload(n_windows=16, jump_at=8):
+def build_workload(n_windows=40, jump_at=20):
     from twoace_tpu.config import ArrayConfig
 
     cfg = ArrayConfig(nt=16, nr=16)
@@ -75,8 +80,8 @@ def build_workload(n_windows=16, jump_at=8):
     amps = np.zeros(n_windows * p, np.float32)
     vhs, ats = [], []
     for t in range(n_windows):
-        drx = 0.2 * t * np.pi / 180 + (25 * np.pi / 180 if t >= jump_at else 0)
-        dtx = -0.2 * t * np.pi / 180
+        drx = 0.1 * t * np.pi / 180 + (25 * np.pi / 180 if t >= jump_at else 0)
+        dtx = -0.1 * t * np.pi / 180
         vh = g * chan(a_rx + drx, a_tx + dtx)
         vhs.append(vh)
         ats.append(steer(cfg.nt, a_tx + dtx))
@@ -153,14 +158,14 @@ def main():
             "n_windows": len(vhs), "maxiter": admm.maxiter,
             "probe_structure": "kron(rx_sector, tx_sector) per ref "
                                "RSS_Mobility.m codebook assembly",
-            "channel": "rank-1 LOS, 0.2 deg/window drift, 25 deg jump "
-                       "at window 8",
+            "channel": "rank-1 LOS, 0.1 deg/window drift, 25 deg jump "
+                       "at window 20",
         },
         "backend": jax.default_backend(),
         "trackers": [cold, warm],
         "note": "Both adaptive-budget branches (RSS_Mobility.m:167-175) "
                 "must fire: budget 0 during smooth tracking (err < 0.3), "
-                "budget growth after the window-8 jump.  r03's failure "
+                "budget growth after the window-20 jump.  r03's failure "
                 "was workload mis-posing: full random rows make 80 "
                 "magnitude probes non-identifiable (measured: perfect "
                 "train fit at -0.5 dB NMSE); the reference's kron "

@@ -75,13 +75,24 @@ def _magnitude_output(p, tau_p, y_mag, psi):
     return z_hat, tau_z
 
 
-@partial(jax.jit, static_argnames=("iters", "learn_lambda", "output"))
+@partial(jax.jit, static_argnames=("iters", "learn_lambda", "output",
+                                   "adaptive_damping"))
 def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
          iters: int = 200, damping: float = 0.7,
          learn_lambda: bool = True, output: str = "awgn",
-         x0=None) -> GampResult:
+         x0=None, adaptive_damping: bool = False) -> GampResult:
     """Run GAMP.  ``a``: (m, n); ``y``: (m,) complex (awgn) or real magnitudes
-    (output="magnitude")."""
+    (output="magnitude").
+
+    ``adaptive_damping`` carries the damping factor in the loop state and
+    backs it off whenever the data residual grows — the role of EMBGAMP's
+    robust/adaptive step mode, which the reference enables
+    (My_TwoStage_Recovery.m:171).  Root-caused need: on the coherent
+    virtual-angle dictionary at m/P ~ 0.2 (the VSM M = 529/784 cells) a
+    fixed damping of 0.7 diverges oscillatorily (measured rel-residual
+    5e4 and EM noise-variance blow-up), while ~0.2 converges to 0.09 —
+    the cause of the r03 perfect-phase-CS collapse.
+    """
     m, n = a.shape
     abs2 = jnp.abs(a) ** 2
     y_pow = jnp.mean(jnp.abs(y) ** 2)
@@ -98,7 +109,9 @@ def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
     state = dict(x=x0, tau_x=jnp.full((n,), phi0 * lam0), s=jnp.zeros((m,), a.dtype),
                  lam=jnp.asarray(lam0, jnp.float32).astype(abs2.dtype),
                  phi=jnp.asarray(phi0, abs2.dtype),
-                 psi=jnp.asarray(psi0, abs2.dtype))
+                 psi=jnp.asarray(psi0, abs2.dtype),
+                 damp=jnp.asarray(damping, abs2.dtype),
+                 last_resid=jnp.asarray(jnp.inf, abs2.dtype))
 
     def body(st, _):
         # output linear step
@@ -117,8 +130,9 @@ def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
         x_new, tau_x_new, pi, gamma, nu = _bg_denoiser(r, tau_r, st["lam"],
                                                        st["phi"])
         # damping
-        x = damping * x_new + (1 - damping) * st["x"]
-        tau_x = damping * tau_x_new + (1 - damping) * st["tau_x"]
+        damp = st["damp"]
+        x = damp.astype(a.dtype) * x_new + (1 - damp).astype(a.dtype) * st["x"]
+        tau_x = damp * tau_x_new + (1 - damp) * st["tau_x"]
         # EM updates (Vila-Schniter)
         lam = st["lam"]
         if learn_lambda:
@@ -129,8 +143,16 @@ def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
             resid = y - a @ x
         else:
             resid = y - jnp.abs(a @ x)
-        psi = jnp.maximum(jnp.mean(jnp.abs(resid) ** 2), 1e-12)
-        return dict(x=x, tau_x=tau_x, s=s, lam=lam, phi=phi, psi=psi), None
+        resid2 = jnp.mean(jnp.abs(resid) ** 2)
+        psi = jnp.maximum(resid2, 1e-12)
+        if adaptive_damping:
+            # back off on residual growth, creep back up on progress
+            # (EMBGAMP robust/adaptive step role)
+            grow = resid2 > st["last_resid"]
+            damp = jnp.where(grow, jnp.maximum(damp * 0.8, 0.1),
+                             jnp.minimum(damp * 1.02, damping))
+        return dict(x=x, tau_x=tau_x, s=s, lam=lam, phi=phi, psi=psi,
+                    damp=damp, last_resid=resid2), None
 
     state, _ = lax.scan(body, state, None, length=iters)
     return GampResult(x=state["x"], tau_x=state["tau_x"],
@@ -140,10 +162,12 @@ def gamp(a, y, *, lam0: float, phi0=None, psi0: float = 1e-2,
 def embgamp(y, a, snr_db: float, lam0: float, learn_lambda: bool = True,
             iters: int = 200):
     """EMBGAMP-compatible wrapper (ref: My_Conventional_CS.m:14-24):
-    complex AWGN output, Bernoulli-Gaussian input, EM learning."""
+    complex AWGN output, Bernoulli-Gaussian input, EM learning, adaptive
+    damping (the reference's robust_gamp mode, My_TwoStage_Recovery.m:171)."""
     psi0 = jnp.mean(jnp.abs(y) ** 2) / (1.0 + 10.0 ** (snr_db / 10.0))
     res = gamp(a, y, lam0=lam0, psi0=psi0, iters=iters,
-               learn_lambda=learn_lambda, output="awgn")
+               learn_lambda=learn_lambda, output="awgn",
+               adaptive_damping=True)
     return res.x
 
 

@@ -63,7 +63,7 @@ def build(nt, m, batch, seed=1):
     return ap, jnp.asarray(np.stack(bs), jnp.float32), np.stack(xs)
 
 
-def kernel_rate(nt, m, batch, r=20, iters=50):
+def kernel_rate(nt, m, batch, r=20, iters=100):
     """Scanned fused-iteration loop at (nt, m): per-iteration cost floor."""
     from twoace_tpu.ops.cplx import Pair, admm_iteration_pair_t, matmul, \
         panel_gram_basis_pair
@@ -159,7 +159,7 @@ def main():
     ap, b, x_true = build(nt, m, batch)
     key = jax.random.PRNGKey(0)
 
-    # ---- end-to-end staged solve
+    # ---- end-to-end staged solve (pure f32, then the warm-phase config)
     t0 = time.perf_counter()
     res = solve_lowrank_multi_pair_batch(key, ap, b, nt, nt, cfg)
     tot = int(np.sum(np.asarray(res.iters)))
@@ -170,6 +170,16 @@ def main():
         res = solve_lowrank_multi_pair_batch(key, ap, b, nt, nt, cfg)
         tot = int(np.sum(np.asarray(res.iters)))
     e2e_s = (time.perf_counter() - t0) / reps
+
+    cfg_w = AdmmConfig(maxiter=500, warm_iters=80)
+    res_w = solve_lowrank_multi_pair_batch(key, ap, b, nt, nt, cfg_w)
+    tot_w = int(np.sum(np.asarray(res_w.iters)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res_w = solve_lowrank_multi_pair_batch(key, ap, b, nt, nt, cfg_w)
+        tot_w = int(np.sum(np.asarray(res_w.iters)))
+    e2e_w_s = (time.perf_counter() - t0) / reps
+    x_w = np.asarray(res_w.x.re) + 1j * np.asarray(res_w.x.im)
     x_est = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
     nmse = []
     for u in range(batch):
@@ -239,9 +249,10 @@ def main():
         float(u_only())
         u_s = (time.perf_counter() - t0) * (n_restarts + 1)  # + full-data U
 
-    # ---- kernel iteration floors
+    # ---- kernel iteration floors (enough work per call to amortize the
+    # tunnel round-trip: the 16x16 shape needs a bigger batch)
     k32 = kernel_rate(nt, m, batch)
-    k16 = kernel_rate(16, 1024, batch)
+    k16 = kernel_rate(16, 1024, 64, iters=200)
 
     out_json = {
         "workload": {"nt": nt, "m": m, "batch": batch,
@@ -256,6 +267,16 @@ def main():
             "selected_iters_per_instance": round(tot / batch, 1),
             "median_nmse_db": round(float(np.median(nmse)), 1),
             "first_call_s": round(first_s, 1),
+        },
+        "end_to_end_warm80": {
+            "wall_s": round(e2e_w_s, 2),
+            "recoveries_per_s": round(batch / e2e_w_s, 2),
+            "median_nmse_db": round(float(np.median(
+                [10 * np.log10(max(
+                    np.linalg.norm(x_true[u] - (np.vdot(x_w[u], x_true[u])
+                     / max(np.vdot(x_w[u], x_w[u]).real, 1e-30)) * x_w[u]) ** 2
+                    / np.linalg.norm(x_true[u]) ** 2, 1e-30))
+                 for u in range(batch)])), 1),
         },
         "stages": {
             "first_pass_s": round(fp_s, 2),

@@ -16,15 +16,15 @@ import numpy as np
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-VSM = os.path.join(ROOT, "VSM_r03.json")
+VSM = os.path.join(ROOT, "VSM_r04.json")
 
 
 @pytest.fixture(scope="module")
 def vsm():
     # per-fixture skip, NOT a module-level mark: the other artifact tests
-    # in this file must keep running when only VSM_r03.json is absent
+    # in this file must keep running when only VSM_r04.json is absent
     if not os.path.exists(VSM):
-        pytest.skip("VSM_r03.json not generated yet")
+        pytest.skip("VSM_r04.json not generated yet")
     with open(VSM) as f:
         return json.load(f)
 
@@ -42,9 +42,10 @@ PR_BASELINES = ("phaselift", "plomp", "plgamp")
 
 def test_vsm_a2_beats_best_baseline_at_high_m(vsm):
     """A2's NMSE advantage over the best phase-retrieval baseline is
-    >= 2 dB at every M >= 529 and >= 1 dB at M = 361 (the measured lower
-    edge of the reference's 2-8 dB claim, reference README.md:7; measured
-    r03 advantages: 1.5 / 2.6 / 3.8 / 3.7 dB at M = 361/529/784/1024)."""
+    >= 2 dB at every M >= 361 (the reference's 2-8 dB claim, reference
+    README.md:7) — measured r04 against the REPAIRED baseline family
+    (PLGAMP OMP fallback + adaptive-damping GAMP, 10 trials): 2.2 / 2.4 /
+    4.3 / 5.5 dB at M = 361/529/784/1024."""
     curves = vsm["nmse_db"]
 
     def arr(v):
@@ -53,14 +54,31 @@ def test_vsm_a2_beats_best_baseline_at_high_m(vsm):
     a2 = arr(curves["admm_lowrank_v4"])
     baselines = [arr(curves[k]) for k in PR_BASELINES if k in curves]
     assert baselines, "no phase-retrieval baseline curves in artifact"
-    # PLGAMP reports NaN where EMBGAMP diverges (ref fallback territory)
     best_baseline = np.nanmin(np.stack(baselines), axis=0)
     m = np.asarray(vsm["m_grid"])
     adv = best_baseline - a2
-    sel2 = m >= 529
+    sel2 = m >= 361
     assert (adv[sel2] >= 2.0).all(), (
         f"A2 advantage dropped below 2 dB: {dict(zip(m[sel2], adv[sel2].round(2)))}")
-    assert adv[m == 361][0] >= 1.0, adv.tolist()
+
+
+def test_vsm_baseline_family_is_healthy(vsm):
+    """VERDICT r03 #1: the repaired opponents. PLGAMP has ZERO null cells
+    (EMBGAMP->OMP fallback per My_TwoStage_Recovery.m:173-178); the
+    perfect-phase CS curve is finite everywhere and stays in a stable
+    recovered band (<= -10 dB) for all M >= 36 — no mid-grid collapse
+    (r03 measured -0.02 dB at M = 529/784 before the residual gate +
+    adaptive GAMP damping)."""
+    curves = vsm["nmse_db"]
+    assert all(x is not None for x in curves["plgamp"]), curves["plgamp"]
+    pp = curves["perfect_phase_cs"]
+    assert all(x is not None for x in pp), pp
+    m = np.asarray(vsm["m_grid"])
+    pp = np.asarray(pp, float)
+    assert (pp[m >= 36] <= -10.0).all(), pp.tolist()
+    # variance control: 10+ trials with per-point std recorded
+    assert vsm["config"]["trials"] >= 10
+    assert "perfect_phase_cs" in vsm.get("nmse_db_std", {})
 
 
 def test_vsm_a2_absolute_accuracy(vsm):

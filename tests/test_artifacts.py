@@ -208,3 +208,23 @@ def test_mobility_r04_both_branches_fire():
     assert warm["windows_per_s"] > 3
     cold = tr["cold_resolve_ref_semantics"]
     assert not cold["reset_branch_fired"]
+
+
+def test_breakdown32_artifact_accounting():
+    """BENCH_breakdown32_r04.json (VERDICT r03 #6): where the 16x16 ->
+    32x32 slowdown goes.  Measured: per-ITERATION cost ratio 8.37x at
+    equal selected-iteration counts (~990/instance both shapes) and 2.6%
+    lockstep waste — the slowdown is per-iteration compute, with the
+    32x32 kernel floor sustaining ~40 TFLOPs (20% of bf16 peak, ~60% of
+    the fp32-emulated ceiling) vs 16x16's ~21 TFLOPs."""
+    d = _load("BENCH_breakdown32_r04.json")
+    e = d["end_to_end"]
+    assert e["recoveries_per_s"] > 7.0
+    assert e["median_nmse_db"] <= -100.0
+    assert 900 < e["selected_iters_per_instance"] < 1200
+    k = d["kernel_floor"]
+    assert k["nt32_m4096"]["tflops"] > 30.0
+    assert 5.0 < k["per_iter_cost_ratio_32_over_16"] < 16.0
+    assert d["stages"]["first_pass_trips"]["lockstep_waste"] < 0.1
+    assert d["end_to_end_warm80"]["recoveries_per_s"] \
+        > e["recoveries_per_s"]

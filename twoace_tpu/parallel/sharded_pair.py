@@ -83,22 +83,44 @@ def _precompute_u_sharded(a_loc: Pair, psum_p):
     return Pair(u_mat.re, -u_mat.im)                      # U^T (u_conj)
 
 
-def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p):
-    """Spectral init (ref :561-574): scaled Gram psum'd, replicated eigh.
+def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p,
+                           oi_iters: int = 24):
+    """Spectral init (ref :561-574): scaled Gram psum'd, then a replicated
+    TOP-r orthogonal iteration (Cholesky-QR) on the (2n, 2n) real
+    embedding — NOT a full eigh: a dense 2n x 2n Jacobi at 32x32
+    (2048 x 2048) is both a pathological XLA:CPU compile and wasted work
+    for r = 20 Ritz vectors.  Same scheme as the unsharded
+    spectral_initialize_pair, with a deterministic start so every shard
+    computes identical replicated state.
 
     Rows with zero norm (masked-out / padding rows) contribute nothing to
     the Gram, so a masked train split yields exactly the gathered-rows
     initialization."""
+    from ..ops.pair_solver import _cholqr
+
     n = a_loc.shape[-1]
+    r = min(r, n)
     row_norm = jnp.sqrt(jnp.maximum(
         jnp.sum(a_loc.re ** 2 + a_loc.im ** 2, axis=-1), 1e-30))
     scal = jnp.where(row_norm > 1e-15, b_loc / row_norm, 1.0)
     a_s = Pair(a_loc.re * scal[:, None], a_loc.im * scal[:, None])
     g_s = psum_p(matmul(_t(Pair(a_s.re, -a_s.im)), a_s))
     g_s = Pair(0.5 * (g_s.re + g_s.re.T), 0.5 * (g_s.im - g_s.im.T))
-    w_s, v_emb = eigh_jacobi(embed_hermitian(g_s))
+    g_emb = embed_hermitian(g_s)                              # (2n, 2n)
+    # deterministic full-rank start (replicated across shards): threefry
+    # from a fixed key — NOT data-dependent, so identical on every shard
+    q = jax.random.normal(jax.random.PRNGKey(29), (2 * n, 2 * r),
+                          jnp.float32)
+
+    def body(qc, _):
+        return _cholqr(g_emb @ qc), None
+
+    q, _ = lax.scan(body, _cholqr(q), None, length=oi_iters)
+    rr_mat = q.T @ (g_emb @ q)
+    w_s, s_r = eigh_jacobi(0.5 * (rr_mat + rr_mat.T))         # (2r, 2r)
+    ritz = q @ s_r
     w_r = jnp.sqrt(jnp.maximum(w_s[0::2][:r], 0.0))
-    vecs = v_emb[:, 0::2][:, :r]
+    vecs = ritz[:, 0::2][:, :r]
     return _t(Pair(vecs[:n] * w_r[None, :], vecs[n:] * w_r[None, :]))
 
 

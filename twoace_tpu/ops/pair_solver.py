@@ -125,8 +125,14 @@ def _cholqr(z):
 
 
 def spectral_initialize_pair(a: Pair, b, r: int, key=None,
-                             iters: int = 24) -> Pair:
+                             iters: int = 12) -> Pair:
     """Transposed-layout spectral init: X0^T of shape (r, n).
+
+    OI depth 12 (was 24): an interleaved on-chip A/B at batch 256 showed
+    identical selected-iteration counts and end accuracy (987 iters/inst,
+    -94.7 dB median, min quality 1.0) at both depths — the ADMM restarts
+    absorb init residual — while 12 steps buy +4.8% end-to-end
+    recoveries/s (99.8 vs 95.2, walls 2.56+-0.02 vs 2.69+-0.02 s).
 
     Rows of A are scaled by b_i/||A_i||; the top-r eigenpairs of the scaled
     Gram (computed by orthogonal iteration on the real 2n x 2n embedding,
@@ -695,6 +701,12 @@ def _batch_first_pass(k_inits, a: Pair, b_batch, trains, tests,
 
         def per_instance(k_init, b):
             b_tr, b_te = b[train], b[test]
+            # NOTE (measured dead end): running the spectral init at
+            # single-pass MXU precision under the warm schedule was tried
+            # and REGRESSED batch-256 throughput 94.7 -> 72.5 rec/s at
+            # identical iteration counts — the precision split inside the
+            # vmapped init fragments XLA's fusion/layout; init stays at
+            # the ambient precision.
             xs = spectral_initialize_pair(a_tr, b_tr, r, key=k_init)
             x, _, _, it = _impl_pair(a_tr, b_tr, xs, nt, nr, False, cfg,
                                      prox_kind, eig_mode, use_pallas=False,

@@ -9,7 +9,7 @@ single-latency path), with the persistent compilation cache DISABLED:
               so this includes the remote round-trip
   hlo_lines   lowered StableHLO text size (graph-size proxy)
 
-Writes ``COMPILE_r03.json`` at the repo root.  Run on the TPU host; a
+Writes ``COMPILE_r04.json`` at the repo root.  Run on the TPU host; a
 truly cold run takes tens of minutes (that is the point — this artifact
 is the evidence for where that time goes).
 
@@ -182,8 +182,8 @@ def main():
     }
     path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "COMPILE_r03.json" if jax.default_backend() != "cpu"
-        else "COMPILE_r03_cpu.json")
+        "COMPILE_r04.json" if jax.default_backend() != "cpu"
+        else "COMPILE_r04_cpu.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

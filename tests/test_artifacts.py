@@ -127,9 +127,9 @@ def test_mobility_artifact_bounds():
 
 
 def test_compile_artifact_bounds():
-    """COMPILE_r03.json: the staged batch solver's eager cold compile
+    """COMPILE_r04.json: the staged batch solver's eager cold compile
     (first_pass + refine; retry is lazy) stays under the 120 s target."""
-    d = _load("COMPILE_r03.json")
+    d = _load("COMPILE_r04.json")
     s = d["stages"]
     eager = s["first_pass"]["compile_s"] + s["refine"]["compile_s"]
     assert eager < 120, eager

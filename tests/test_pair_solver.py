@@ -298,3 +298,35 @@ def test_matmul_precision_modes_agree_on_cpu():
     np.testing.assert_allclose(out["float32"][0].imag,
                                out["default"][0].imag, atol=1e-6)
     assert out["float32"][1] == out["default"][1]
+
+
+def test_warm_schedule_preserves_solution_on_cpu():
+    """cfg.warm_iters splits every inner solve into a default-precision
+    warm loop + an f32 tail (the mixed-precision schedule,
+    config.AdmmConfig.warm_iters).  On CPU both phases are exact f32, so
+    the schedule must recover the same channel as the pure path (not
+    bitwise: the phase switch resets the best-so-far objective and
+    convergence flags, so trajectories legitimately differ by a few
+    iterations) and stay within the iteration budget."""
+    nt = nr = 4
+    n, m = 16, 64
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 4, (m, n))
+    a = (np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)).astype(np.complex64)
+    x = np.outer(_steer(nr, 0.4), _steer(nt, -0.6).conj()).T.reshape(-1)
+    b = jnp.asarray(np.abs(a @ x), jnp.float32)
+
+    out = {}
+    for warm in (0, 40):
+        cfg = AdmmConfig(maxiter=120, n_restarts=1, warm_iters=warm)
+        res = solve_lowrank_multi_pair(jax.random.PRNGKey(2), _pair(a), b,
+                                       nt, nr, cfg)
+        xe = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+        c = np.vdot(xe, x) / max(np.vdot(xe, xe).real, 1e-30)
+        nmse = (np.linalg.norm(x - c * xe) ** 2 / np.linalg.norm(x) ** 2)
+        out[warm] = (nmse, int(res.iters), float(res.quality))
+        # per-solve budget respected: it carries across phases, so the
+        # total stays <= maxiter * (solves on the selected path)
+        assert int(res.iters) <= 120 * 4, res.iters
+    assert out[0][0] < 1e-3 and out[40][0] < 1e-3, out
+    assert abs(out[0][2] - out[40][2]) < 0.05

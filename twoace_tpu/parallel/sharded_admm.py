@@ -6,17 +6,21 @@ cleanly over a mesh axis with one ``psum`` per iteration, while independent
 problem instances shard over the batch axis with no communication at all
 (the parfor replacement).
 
-This module provides the production sharded solver:
+This module provides the complex-dtype sharded solver:
   - :func:`solve_lowrank_sharded` — batch of (A, B) problems over a
     (batch x rows) mesh, each solve row-sharded internally.
 
-Design choice vs the single-chip solver (:mod:`..ops.admm`): the sharded
-variant runs the inferLowRankImpl scaffold (spectral init -> over-param ADMM
--> orthonormalize -> column refinement -> full-data polish) without the
-internal 95/5 CV restarts — at production scale, restarts are extra batch
-instances (embarrassingly parallel) rather than a serial loop inside one
-solve.  Collectives: one psum per X-update, one for spectral init, one per
-residual evaluation; everything rides ICI.
+THE PRODUCTION MULTI-CHIP ENTRY IS THE PAIR TWIN:
+:func:`.sharded_pair.solve_lowrank_multi_sharded_pair` runs the complete
+``inferLowRankV4_multi`` scaffold (CV restarts, quality gate, rank-1
+retry, rollback) with row-sharded inner solves, in the (re, im) float32
+representation the target TPU runtime requires (no complex dtypes).
+This complex twin keeps the REDUCED scaffold (spectral init -> over-param
+ADMM -> orthonormalize -> column refinement -> full-data polish, no CV
+restarts) as the CPU-friendly reference/debug path; maintaining the full
+scaffold in both dtypes would invite drift, and complex64 does not run on
+the production hardware anyway.  Collectives: one psum per X-update, one
+for spectral init, one per residual evaluation; everything rides ICI.
 """
 
 from __future__ import annotations

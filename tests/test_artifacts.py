@@ -228,3 +228,19 @@ def test_breakdown32_artifact_accounting():
     assert d["stages"]["first_pass_trips"]["lockstep_waste"] < 0.1
     assert d["end_to_end_warm80"]["recoveries_per_s"] \
         > e["recoveries_per_s"]
+
+
+def test_vssnr_artifact_bounds():
+    """VSSNR_r04.json (Vs_SNR_par.m campaign at m = 529): A2's error
+    improves monotonically-with-noise-margin in SNR, reaches <= -10 dB by
+    SNR 20, and beats PLOMP/PLGAMP at SNR >= 15 (the magnitude-only
+    operating regime; perfect-phase CS is an oracle-phase baseline of a
+    different measurement class)."""
+    d = _load("VSSNR_r04.json")
+    snr = np.asarray(d["snr_grid_db"])
+    a2 = np.asarray(d["nmse_db"]["admm_lowrank_v4"], float)
+    assert (np.diff(a2) <= 2.0).all(), a2.tolist()
+    assert a2[snr >= 20].max() <= -10.0, a2.tolist()
+    for k in ("plomp", "plgamp"):
+        base = np.asarray(d["nmse_db"][k], float)
+        assert (a2[snr >= 15] <= base[snr >= 15] + 0.5).all(), (k, base)

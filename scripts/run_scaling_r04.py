@@ -130,11 +130,15 @@ def production_sharded_point(maxiter=150):
     dt_sh = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    nm = []
+    nmse_1 = []
     for u in range(batch):
         res = solve_lowrank_multi_pair(keys[u], Pair(ap.re[u], ap.im[u]),
                                        b[u], nt, nt, cfg)
         x1 = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+        c1 = np.vdot(x1, x_true[u]) / max(np.vdot(x1, x1).real, 1e-30)
+        nmse_1.append(round(float(10 * np.log10(max(
+            np.linalg.norm(x_true[u] - c1 * x1) ** 2
+            / np.linalg.norm(x_true[u]) ** 2, 1e-30))), 1))
     dt_1 = time.perf_counter() - t0
 
     def nmse(x, u):
@@ -149,6 +153,7 @@ def production_sharded_point(maxiter=150):
         "sharded_quality": [round(float(q), 3) for q in np.asarray(qs)],
         "sharded_nmse_db": [round(float(nmse(x_sh[u], u)), 1)
                             for u in range(batch)],
+        "single_nmse_db": nmse_1,
         "note": "production inferLowRankV4_multi scaffold with row-sharded "
                 "inner solves (parity test: tests/test_parallel.py::"
                 "test_sharded_multi_scaffold_matches_single_chip_quality)",

@@ -136,7 +136,7 @@ def cmd_vs_m(args) -> None:
     # per-trial NMSE (len(grid), trials): variance columns for the
     # committed accuracy artifacts (VSM_r04+)
     arrays.update({f"nmse_trials_{k}": v
-                   for k, v in res.nmse_trials.items()})
+                   for k, v in (res.nmse_trials or {}).items()})
     _emit(summary, arrays, args)
 
 

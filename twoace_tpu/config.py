@@ -139,9 +139,15 @@ class AdmmConfig:
     #: for raw-throughput mode.
     matmul_precision: str = "float32"
     #: Mixed-precision warm phase: run the FIRST ``warm_iters`` iterations
-    #: of every inner ADMM solve at single-pass "default" matmul precision
-    #: (~3x cheaper on the MXU than the float32 emulation), then hand the
-    #: carried state to the float32 tail that actually converges.  The
+    #: of each FIRST-PASS inner ADMM solve (the restart solves of the
+    #: single-chip scaffolds AND of the row-sharded production scaffold)
+    #: at single-pass "default" matmul precision (~3x cheaper on the MXU
+    #: than the float32 emulation), then hand the carried state to the
+    #: float32 tail that actually converges.  Refinement-stage solves are
+    #: deliberately EXCLUDED: they start from an already-converged x,
+    #: which coarse iterations would degrade before the tail re-converges
+    #: it (the warm-started tracking refine applies it explicitly,
+    #: refine_lowrank_pair).  The
     #: default-precision fixed point sits at ~-46 dB, so the warm phase
     #: does the bulk contraction cheaply and the f32 tail only pays for
     #: the last decades (see scripts/bench_batch_sweep.py for the measured

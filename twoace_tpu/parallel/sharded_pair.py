@@ -84,14 +84,17 @@ def _precompute_u_sharded(a_loc: Pair, psum_p):
 
 
 def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p,
-                           oi_iters: int = 24):
+                           oi_iters: int = 12, key=None):
     """Spectral init (ref :561-574): scaled Gram psum'd, then a replicated
     TOP-r orthogonal iteration (Cholesky-QR) on the (2n, 2n) real
     embedding — NOT a full eigh: a dense 2n x 2n Jacobi at 32x32
     (2048 x 2048) is both a pathological XLA:CPU compile and wasted work
-    for r = 20 Ritz vectors.  Same scheme as the unsharded
-    spectral_initialize_pair, with a deterministic start so every shard
-    computes identical replicated state.
+    for r = 20 Ritz vectors.  Same scheme (and the same measured 12-step
+    depth) as the unsharded spectral_initialize_pair.  ``key`` seeds the
+    iteration start: callers pass a REPLICATED key (identical on every
+    shard) so replicated state stays identical, while per-restart keys
+    keep the CV restarts' initializations distinct like the single-chip
+    scaffold's.
 
     Rows with zero norm (masked-out / padding rows) contribute nothing to
     the Gram, so a masked train split yields exactly the gathered-rows
@@ -107,10 +110,9 @@ def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p,
     g_s = psum_p(matmul(_t(Pair(a_s.re, -a_s.im)), a_s))
     g_s = Pair(0.5 * (g_s.re + g_s.re.T), 0.5 * (g_s.im - g_s.im.T))
     g_emb = embed_hermitian(g_s)                              # (2n, 2n)
-    # deterministic full-rank start (replicated across shards): threefry
-    # from a fixed key — NOT data-dependent, so identical on every shard
-    q = jax.random.normal(jax.random.PRNGKey(29), (2 * n, 2 * r),
-                          jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(29)
+    q = jax.random.normal(key, (2 * n, 2 * r), jnp.float32)
 
     def body(qc, _):
         return _cholqr(g_emb @ qc), None
@@ -126,12 +128,16 @@ def _spectral_init_sharded(a_loc: Pair, b_loc, r: int, psum_p,
 
 def _make_admm(a_loc: Pair, b_loc, u_conj: Pair, ladder, cfg: AdmmConfig,
                psum, psum_p, gnorm2, m_eff: int, nt: int, nr: int,
-               prox_kind: str):
+               prox_kind: str, warm_iters: int = 0):
     """Build the row-sharded InferADMM closure over (possibly masked) local
     rows.  ``ladder`` may be a static tuple or traced :class:`LadderArrays`
     (the latter lets the rank-1 retry/refinement flag select ladder DATA
     instead of tracing a second solver); ``m_eff`` is the ACTIVE global row
-    count feeding the residual thresholds (ref :363-375)."""
+    count feeding the residual thresholds (ref :363-375).  ``warm_iters``
+    applies the mixed-precision schedule of
+    :func:`..ops.pair_solver.infer_admm_pair` — a bounded default-precision
+    warm loop before the ambient-precision tail (same reset of the
+    convergence flag and best-so-far objective at the phase switch)."""
     m_loc, n = a_loc.shape
     a_conj = Pair(a_loc.re, -a_loc.im)                    # (m_loc, n)
     a_t = _t(a_loc)                                       # (n, m_loc)
@@ -293,6 +299,18 @@ def _make_admm(a_loc: Pair, b_loc, u_conj: Pair, ladder, cfg: AdmmConfig,
                         opt_obj=opt_obj, opt_x=opt_x, opt_y=opt_y,
                         it=c["it"] + 1, done=done)
 
+        if warm_iters > 0:
+            warm_bound = min(warm_iters, cfg.maxiter)
+
+            def cond_warm(c):
+                return jnp.logical_and(c["it"] < warm_bound,
+                                       jnp.logical_not(c["done"]))
+
+            with jax.default_matmul_precision("default"):
+                init = lax.while_loop(cond_warm, body, init)
+            init = dict(init, done=jnp.zeros_like(init["done"]),
+                        opt_obj=jnp.full_like(init["opt_obj"], jnp.inf))
+
         out = lax.while_loop(cond, body, init)
         return out["opt_x"], out["opt_y"]
 
@@ -415,10 +433,11 @@ def _solve_multi_one_pair(a_loc: Pair, b_loc, key, nt: int, nr: int,
         den = jnp.sqrt(psum(jnp.sum(b_m * b_m)))
         return 1.0 - num / jnp.maximum(den, 1e-30)
 
-    def one_restart(train_mask_g):
-        """train_mask_g: (m_global,) replicated 0/1 mask.  (The sharded
-        spectral init is a deterministic full eigh of the psum'd Gram —
-        no per-restart randomness beyond the split itself.)"""
+    def one_restart(k_init, train_mask_g):
+        """``k_init``: replicated per-restart key seeding the spectral
+        init's orthogonal iteration (restart diversity, matching the
+        single-chip scaffold); ``train_mask_g``: (m_global,) replicated
+        0/1 mask."""
         tr = train_mask_g[local_ids]                      # (m_loc,)
         a_tr = Pair(a_loc.re * tr[:, None], a_loc.im * tr[:, None])
         b_tr = b_loc * tr
@@ -427,11 +446,17 @@ def _solve_multi_one_pair(a_loc: Pair, b_loc, key, nt: int, nr: int,
         b_te = b_loc * te
 
         u_tr = _precompute_u_sharded(a_tr, psum_p)
-        xs = _spectral_init_sharded(a_tr, b_tr, r, psum_p)
+        xs = _spectral_init_sharded(a_tr, b_tr, r, psum_p, key=k_init)
 
         def run(ladder):
+            # first-pass solves take the warm phase; the full-data
+            # refinement below deliberately does not (it starts from an
+            # already-converged x, which coarse iterations would degrade
+            # before the f32 tail re-converges it — same policy as the
+            # single-chip scaffold)
             admm = _make_admm(a_tr, b_tr, u_tr, ladder, cfg, psum, psum_p,
-                              gnorm2, lm_tr, nt, nr, prox_kind)
+                              gnorm2, lm_tr, nt, nr, prox_kind,
+                              warm_iters=cfg.warm_iters)
             x, _ = admm(xs, scale_by_row=True)
             x = _orthonormalize_sharded(x)
             x, _ = admm(x, scale_by_row=False)
@@ -457,13 +482,13 @@ def _solve_multi_one_pair(a_loc: Pair, b_loc, key, nt: int, nr: int,
         # same per-restart PRNG derivation as the unsharded pair solver
         # (_solve_lowrank_core): fold_in(key, i) -> split; [0] drives the
         # train/test permutation (masks replace the gathered index
-        # vectors), [1] the spectral initialization
+        # vectors), [1] seeds the spectral initialization
         k_i = jax.random.fold_in(key, i)
-        k_split, _ = jax.random.split(k_i)
+        k_split, k_init = jax.random.split(k_i)
         perm = jax.random.permutation(k_split, m_global)
         train_mask = jnp.zeros((m_global,), jnp.float32).at[
             perm[:lm_tr]].set(1.0)
-        x, q, rank_one = one_restart(train_mask)
+        x, q, rank_one = one_restart(k_init, train_mask)
         if best is None:
             best = (x, q, rank_one)
         else:

@@ -79,8 +79,10 @@ class SweepResult(NamedTuple):
     nmse: Dict[str, np.ndarray]     #: method -> (len(grid),) mean NMSE
     aoda_err: Dict[str, np.ndarray]  #: method -> mean AoD/AoA error (deg)
     #: method -> (len(grid), n_trials) per-trial NMSE (variance control for
-    #: the committed accuracy artifacts; empty dict on legacy paths)
-    nmse_trials: Dict[str, np.ndarray] = {}
+    #: the committed accuracy artifacts); None on paths that don't record
+    #: it — a None default rather than {} so no shared mutable instance
+    #: leaks across results (guard consumers with ``res.nmse_trials or {}``)
+    nmse_trials: Optional[Dict[str, np.ndarray]] = None
 
 
 def _recover_all(key, sim: SimulationConfig, meas, sensing, rep, ch):

@@ -61,7 +61,9 @@ def main():
     from twoace_tpu.config import AdmmConfig
     from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
 
-    warm = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    # default matches the committed BENCH_sweep artifact, the pinned
+    # test (test_artifacts.py: pts[(batch, 80)]), and bench.py WARM_ITERS
+    warm = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     key = jax.random.PRNGKey(0)
     points = []
     for batch in (16, 64, 256):

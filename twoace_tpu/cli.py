@@ -152,6 +152,10 @@ def cmd_vs_snr(args) -> None:
                            for k, v in res.nmse.items()}}
     arrays = {"snr_grid": res.grid}
     arrays.update({f"nmse_{k}": v for k, v in res.nmse.items()})
+    # per-trial NMSE (len(grid), trials): variance columns, mirroring
+    # cmd_vs_m (the round-4 variance-control policy)
+    arrays.update({f"nmse_trials_{k}": v
+                   for k, v in (res.nmse_trials or {}).items()})
     _emit(summary, arrays, args)
 
 

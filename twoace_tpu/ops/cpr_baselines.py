@@ -113,20 +113,28 @@ def conventional_cs(measurements_complex, a, s: int, noise_power: float,
         # Under jit divergence shows up as non-finite output OR as a finite
         # COLLAPSED iterate (EM shrinks the sparsity to ~0 and x sticks at
         # the zero fixed point, residual ~ ||y||).  The gate detects only
-        # those failure modes — non-finite, or a fit no better than 90% of
-        # the zero solution's — NOT a fit-vs-OMP comparison: OMP's greedy
+        # those failure modes — NOT a fit-vs-OMP comparison: OMP's greedy
         # least-squares refit generically attains a smaller data residual
         # than GAMP's MMSE-shrunk posterior mean even when GAMP's NMSE is
         # better, so comparing residuals would wrongly discard healthy
         # GAMP estimates (matching the reference, which falls back only on
         # an exception).
+        #
+        # The collapse test is NOISE-AWARE: a perfect estimate's residual
+        # power is ~ m*noise_power, which below roughly -7 dB SNR already
+        # exceeds (0.9*||y||)^2 — a plain r < 0.9||y|| gate would then
+        # silently discard healthy GAMP output.  A residual is treated as
+        # collapse only if it beats NEITHER the zero-solution bound NOR
+        # the expected noise floor (2x margin on E||w||^2 = m*sigma^2).
         y = measurements_complex
+        m = a.shape[0]
         fin = jnp.isfinite(x.real) & jnp.isfinite(x.imag)
         x_safe = jnp.where(fin, x, 0.0)
         x_omp = omp(a, y, max_steps=s)
-        r_gamp = jnp.linalg.norm(y - a @ x_safe)
-        ok = jnp.logical_and(jnp.all(fin),
-                             r_gamp < 0.9 * jnp.linalg.norm(y))
+        r2_gamp = jnp.sum(jnp.abs(y - a @ x_safe) ** 2)
+        floor2 = jnp.maximum(0.81 * jnp.sum(jnp.abs(y) ** 2),
+                             2.0 * m * noise_power)
+        ok = jnp.logical_and(jnp.all(fin), r2_gamp < floor2)
         return jnp.where(ok, x, x_omp)
     return omp(a, measurements_complex, max_steps=s)
 

@@ -338,6 +338,14 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     anchored = anchor is not None and anchor_weight > 0.0
     if anchored and not has_z:
         raise ValueError("proximal anchor requires the Z-constrained path")
+    if anchored and u_mat is not None:
+        # The anchor's (1 + w) ridge lives inside U = inv(A^H A + (1+w) I);
+        # a caller-provided U built with the plain unit ridge would solve
+        # the wrong X-subproblem (anchor pull in the rhs, no matching
+        # ridge), so require U to be derived here.
+        raise ValueError("anchored solves must not pass a precomputed "
+                         "u_mat; the (1 + anchor_weight) ridge is folded "
+                         "into U internally")
     if u_mat is None:
         u_mat = precompute_u_pair(
             a, reg=1.0 + (anchor_weight if anchored else 0.0))

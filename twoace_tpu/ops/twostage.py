@@ -128,12 +128,22 @@ def _two_stage_jit(measurements, a, s: int,
         # solution.  NOT a fit-vs-OMP comparison: OMP's LS refit
         # generically out-fits GAMP's MMSE-shrunk estimate even when
         # GAMP's recovery is better (see cpr_baselines.conventional_cs).
+        #
+        # The stage-2 "noise" is the stage-1 PhaseLift error, which has no
+        # a-priori power, so the noise floor of the collapse test is
+        # estimated from the achievable residual: OMP's LS-refit residual
+        # is close to the best any s-sparse fit attains here, and a GAMP
+        # residual within 2x of it (4x in power) is a healthy fit even
+        # when ||int_soln|| itself is mostly stage-1 error (low SNR) — a
+        # plain 0.9*||int_soln|| cut would mislabel that regime collapse.
         finite = jnp.all(jnp.isfinite(raw.real) & jnp.isfinite(raw.imag))
         raw_safe = jnp.where(jnp.isfinite(raw.real) & jnp.isfinite(raw.imag),
                              raw, 0.0)
-        r_gamp = jnp.linalg.norm(int_soln - c @ raw_safe)
-        ok = jnp.logical_and(
-            finite, r_gamp < 0.9 * jnp.linalg.norm(int_soln))
+        r2_gamp = jnp.sum(jnp.abs(int_soln - c @ raw_safe) ** 2)
+        r2_omp = jnp.sum(jnp.abs(int_soln - c @ omp_soln) ** 2)
+        floor2 = jnp.maximum(0.81 * jnp.sum(jnp.abs(int_soln) ** 2),
+                             4.0 * r2_omp)
+        ok = jnp.logical_and(finite, r2_gamp < floor2)
         plgamp = jnp.where(ok, raw, omp_soln)
     else:
         plgamp = jnp.zeros((n,), a.dtype)

@@ -546,6 +546,12 @@ def solve_lowrank_multi_sharded_pair(mesh: Mesh, keys, a: Pair, b,
     ``keys``: (B, 2) uint32 per-instance PRNG keys; ``a``: (B, m, n) Pair;
     ``b``: (B, m).  Returns ``(x (B, n) Pair, quality (B,))``, replicated
     over rows and sharded over batch.
+
+    Contract: problems must be UNPADDED (every one of the m rows active).
+    Normalization, the CV permutation, and the train-split size are all
+    computed from ``m`` directly; the single-chip batch solver's b==0
+    padding convention is NOT honored here — zero rows would shift the
+    95/5 split and the 1/m normalization silently.
     """
     m_global = a.shape[1]
 

@@ -171,22 +171,33 @@ def test_multires_tier_thresholds_and_offsets():
 
 
 def test_vs_sr_measurements_needed_semantics(monkeypatch):
-    """vs-sr picks the SMALLEST grid M whose NMSE meets the target, NaN when
-    none does (ref: VS_SR_par.m:73-102)."""
+    """vs-sr picks the grid point whose MAEE is CLOSEST to each target
+    (argmin |MAEE - target|, VS_SR_par.m:118-119 — not first-to-reach),
+    reported as TOTAL measurements Mt*Mr, with per-range (M, G) grids from
+    the reference's table (VS_SR_par.m:76-99)."""
     import jax
     from twoace_tpu.pipeline import simulation as sim_mod
 
-    curves = {30.0: [0.5, 0.09, 0.01], 90.0: [0.5, 0.4, 0.3]}
+    # MAEE curves per range, shaped like the reference's table grids:
+    # range 20 -> M (2,3,4,5); range 30 -> M (4,5,6,7)
+    maee = {20.0: [2.0, 0.9, 0.55, 0.3], 30.0: [1.4, 1.05, 0.7, 0.62]}
+    calls = []
 
-    class FakeRes:
-        def __init__(self, sr):
-            self.nmse = {"a2": np.asarray(curves[sr])}
+    def fake_cell(key, sim, mt, mr, sr):
+        calls.append((sr, mt, mr, sim.array.grid_t))
+        j = len([c for c in calls if c[0] == sr]) - 1
+        return ({"a2": 0.1}, {"a2": maee[sr][j]}, {"a2": np.zeros(2)})
 
-    def fake_sweep(key, m_grid, sim, searching_area):
-        return FakeRes(searching_area)
-
-    monkeypatch.setattr(sim_mod, "sweep_measurements", fake_sweep)
-    need = sim_mod.measurements_needed_vs_range(
-        jax.random.PRNGKey(0), [30.0, 90.0], [16, 64, 256],
-        nmse_target=0.1)
-    np.testing.assert_array_equal(need["a2"], [64.0, np.nan])
+    monkeypatch.setattr(sim_mod, "_one_cell", fake_cell)
+    res = sim_mod.measurements_needed_vs_range(
+        jax.random.PRNGKey(0), [20.0, 30.0], maee_targets=(0.6, 1.0))
+    # range 20: closest to 0.6 is M=4 (0.55) -> 16; closest to 1.0 is
+    # M=3 (0.9) -> 9.  range 30: closest to 0.6 is M=7 (0.62) -> 49;
+    # closest to 1.0 is M=5 (1.05) -> 25.
+    np.testing.assert_array_equal(res.m_needed["a2"],
+                                  [[16.0, 9.0], [49.0, 25.0]])
+    # the dictionary size G follows the reference's per-point table
+    assert [c[3] for c in calls if c[0] == 20.0] == [25, 35, 45, 55]
+    assert [c[3] for c in calls if c[0] == 30.0] == [25, 40, 55, 60]
+    # directional mode: mt = mr = per-side beam count
+    assert [c[1] for c in calls if c[0] == 20.0] == [2, 3, 4, 5]

@@ -157,6 +157,29 @@ def test_simulation_sweep_runs(key):
     assert "perfect_phase_cs" in res.nmse
 
 
+def test_h_domain_angle_readout(key):
+    """H-domain solvers get finite AoD/AoA via the dictionary projection
+    (metrics.sparse_projection_omp): an on-grid 1-path channel's exact
+    vec_h must project to its own support, giving ~0 angle error."""
+    import jax.numpy as jnp
+
+    from twoace_tpu.models import generate_channel, sparse_formulation
+    from twoace_tpu.utils.metrics import (angle_error, angles_from_sparse,
+                                          sparse_projection_omp)
+
+    cfg = ArrayConfig(nt=4, nr=4)
+    ch = generate_channel(key, cfg,
+                          ChannelConfig(n_paths=1, rician_k=0, on_grid=True),
+                          batch=3)
+    rep = sparse_formulation(cfg, ch, 90.0)
+    z = jax.vmap(lambda h: sparse_projection_omp(h, rep.ad, 1))(
+        jnp.asarray(ch.vec_h))
+    aod, aoa = angles_from_sparse(z, cfg, rep.tx_window, rep.rx_window, 1)
+    ang = angle_error(aod, aoa, ch.aod_deg, ch.aoa_deg)
+    # on-grid angles land exactly on dictionary columns
+    assert float(jnp.max(ang.aoda_err)) < 1.5
+
+
 def test_simulated_mobility_budget_rule(key):
     """track_simulated: budget shrinks by floor(M/5)+1 on success, grows on
     failure (ref RSS_Mobility_simu.m:155-160); static channel locks in."""

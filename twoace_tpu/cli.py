@@ -160,16 +160,32 @@ def cmd_vs_snr(args) -> None:
 
 
 def cmd_vs_sr(args) -> None:
-    """Probes needed vs search range (ref: VS_SR_par.m + sub_VS_SR_par.m)."""
+    """Probes needed vs search range (ref: VS_SR_par.m + sub_VS_SR_par.m):
+    per-range (M, G) grids, closest-match MAEE targets."""
     import jax
     from twoace_tpu.pipeline import measurements_needed_vs_range
 
-    need = measurements_needed_vs_range(
-        jax.random.PRNGKey(args.seed), args.ranges, args.m_grid,
-        nmse_target=args.target, sim=_sim_config(args))
+    res = measurements_needed_vs_range(
+        jax.random.PRNGKey(args.seed), args.ranges, m_grid=args.m_grid,
+        g_grid=args.g_grid, maee_targets=tuple(args.targets),
+        sim=_sim_config(args))
     summary = {"cmd": "vs-sr", "ranges_deg": args.ranges,
-               "m_needed": need}
-    _emit(summary, {f"m_needed_{k}": v for k, v in need.items()}, args)
+               "maee_targets_deg": list(res.maee_targets),
+               "m_needed": res.m_needed,
+               "m_grids": res.m_grids, "g_grids": res.g_grids,
+               "maee_deg": {k: [list(np.round(c, 3)) for c in v]
+                            for k, v in res.maee_curves.items()}}
+    arrays = {"ranges_deg": np.asarray(args.ranges),
+              "maee_targets": np.asarray(res.maee_targets)}
+    arrays.update({f"m_needed_{k}": v for k, v in res.m_needed.items()})
+    for r_i, sr in enumerate(args.ranges):
+        tag = f"r{int(round(sr))}"
+        arrays[f"m_grid_{tag}"] = np.asarray(res.m_grids[r_i])
+        arrays[f"g_grid_{tag}"] = np.asarray(res.g_grids[r_i])
+        for k in res.maee_curves:
+            arrays[f"maee_{k}_{tag}"] = np.asarray(res.maee_curves[k][r_i])
+            arrays[f"nmse_{k}_{tag}"] = np.asarray(res.nmse_curves[k][r_i])
+    _emit(summary, arrays, args)
 
 
 def cmd_mobility(args) -> None:
@@ -286,11 +302,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("vs-sr", help=cmd_vs_sr.__doc__)
     _add_common(p)
-    p.add_argument("--ranges", type=float, nargs="+", default=[30, 60, 90])
-    p.add_argument("--m-grid", type=int, nargs="+",
-                   default=[25, 49, 100, 196])
-    p.add_argument("--target", type=float, default=0.1,
-                   help="NMSE threshold defining 'enough probes'")
+    p.add_argument("--ranges", type=float, nargs="+",
+                   default=[20, 30, 40, 50, 60, 70, 80],
+                   help="search ranges; the reference's per-range (M, G) "
+                        "grids apply unless --m-grid overrides")
+    p.add_argument("--m-grid", type=int, nargs="+", default=None,
+                   help="override: one shared per-side beam grid")
+    p.add_argument("--g-grid", type=int, nargs="+", default=None,
+                   help="override: dictionary sizes paired with --m-grid")
+    p.add_argument("--targets", type=float, nargs="+", default=[0.6, 0.8, 1.0],
+                   help="MAEE targets in degrees (VS_SR_par.m:104-106)")
     p.set_defaults(fn=cmd_vs_sr)
 
     p = sub.add_parser("mobility", help=cmd_mobility.__doc__)

@@ -17,8 +17,10 @@ from .recovery import (  # noqa: F401
     recover_phaselift,
 )
 from .simulation import (  # noqa: F401
+    VS_SR_GRIDS,
     SimulationConfig,
     SweepResult,
+    VsSrResult,
     infer_channel_windows,
     measurements_needed_vs_range,
     sweep_measurements,

@@ -36,6 +36,7 @@ from ..utils.metrics import (
     angles_from_sparse,
     nmse_h,
     nmse_h_projection,
+    sparse_projection_omp,
 )
 
 
@@ -190,13 +191,22 @@ def _evaluate(out, rep, ch, sim: SimulationConfig):
         est_j = jnp.asarray(est)
         if est_j.shape[-1] == rep.ad.shape[1]:       # sparse z -> vec H
             vec_est = jnp.einsum("np,up->un", rep.ad, est_j)
-            aod, aoa = angles_from_sparse(est_j, cfg, rep.tx_window,
-                                          rep.rx_window, sim.channel.n_paths)
-            ang = angle_error(aod, aoa, ch.aod_deg, ch.aoa_deg)
-            ang_d[name] = float(jnp.mean(ang.aoda_err))
+            z_for_ang = est_j
         else:                                        # direct vec H estimate
             vec_est = est_j
-            ang_d[name] = float("nan")
+            # angle readout for H-domain solvers (A2 family, minL2,
+            # phaselift): project the estimate onto the FoV dictionary and
+            # read angles off the OMP support — same readout the sparse
+            # methods get from their z (see metrics.sparse_projection_omp)
+            from functools import partial
+            z_for_ang = jax.vmap(
+                partial(sparse_projection_omp,
+                        n_paths=sim.channel.n_paths),
+                in_axes=(0, None))(est_j, rep.ad.astype(est_j.dtype))
+        aod, aoa = angles_from_sparse(z_for_ang, cfg, rep.tx_window,
+                                      rep.rx_window, sim.channel.n_paths)
+        ang = angle_error(aod, aoa, ch.aod_deg, ch.aoa_deg)
+        ang_d[name] = float(jnp.mean(ang.aoda_err))
         per = np.asarray(nmse_h_projection(vec_est, ch.vec_h))
         trials_d[name] = per
         nmse_d[name] = float(np.mean(per))
@@ -299,24 +309,108 @@ def sweep_snr(key, snr_grid: Sequence[float], m: int,
                                     for k, v in tr_acc.items()})
 
 
-def measurements_needed_vs_range(key, ranges_deg: Sequence[float],
-                                 m_grid: Sequence[int],
-                                 nmse_target: float,
-                                 sim: SimulationConfig = SimulationConfig()
-                                 ) -> Dict[str, np.ndarray]:
-    """Search-range sweep: smallest M reaching the NMSE target per range.
+#: The reference's per-search-range (Mt=Mr grid, G grid) pairs
+#: (VS_SR_par.m:76-99): G sets the per-side AoD/AoA quantization NQt=NQr
+#: for that point (sub_VS_SR_par.m:133-135).
+VS_SR_GRIDS: Dict[int, Tuple[Tuple[int, ...], Tuple[int, ...]]] = {
+    20: ((2, 3, 4, 5), (25, 35, 45, 55)),
+    30: ((4, 5, 6, 7), (25, 40, 55, 60)),
+    40: ((5, 6, 7, 8, 9), (25, 40, 55, 60, 70)),
+    50: ((6, 7, 8, 9, 10, 11), (25, 40, 45, 55, 65, 70)),
+    60: ((8, 9, 10, 11, 12), (40, 50, 55, 60, 70)),
+    70: ((9, 10, 11, 12, 13), (40, 55, 60, 70, 75)),
+    80: ((10, 11, 12, 13, 14), (45, 55, 60, 70, 75)),
+}
 
-    ref: VS_SR_par.m:73-109 + sub_VS_SR_par.m.
+
+class VsSrResult(NamedTuple):
+    ranges: np.ndarray                 #: (R,) search ranges in degrees
+    maee_targets: Tuple[float, ...]    #: the MAEE ladder (degrees)
+    #: method -> (R, T) TOTAL measurements whose MAEE is closest to each
+    #: target (the reference reports M^2, VS_SR_par.m:118-121)
+    m_needed: Dict[str, np.ndarray]
+    #: method -> list over ranges of per-grid-point MAEE (degrees)
+    maee_curves: Dict[str, list]
+    #: method -> list over ranges of per-grid-point mean NMSE (linear)
+    nmse_curves: Dict[str, list]
+    m_grids: list                      #: per-range Mt=Mr (or total-M) grids
+    g_grids: list                      #: per-range dictionary sizes
+
+
+def measurements_needed_vs_range(key, ranges_deg: Sequence[float],
+                                 m_grid: Optional[Sequence[int]] = None,
+                                 g_grid: Optional[Sequence[int]] = None,
+                                 maee_targets: Sequence[float] = (
+                                     0.6, 0.8, 1.0),
+                                 sim: SimulationConfig = SimulationConfig()
+                                 ) -> VsSrResult:
+    """Measurements needed vs search range, at the reference's semantics.
+
+    ref: VS_SR_par.m:73-121 + sub_VS_SR_par.m — per-range (M, G) grids
+    (:data:`VS_SR_GRIDS`; G sets the dictionary quantization for that
+    point), SNR fixed by ``sim.snr_db`` (the reference uses 0 dB), and for
+    each MAEE target the selected budget is the grid point whose mean
+    angle error is CLOSEST to the target (``min |MAEE - target|``,
+    VS_SR_par.m:118-119 — not "first M reaching it"), reported as total
+    measurements Mt*Mr.
+
+    ``m_grid``/``g_grid`` override the table with one shared grid for all
+    ranges (ragged per-range grids stay the default).  H-domain methods
+    (the A2 family) get their MAEE through the dictionary projection in
+    :func:`_evaluate`, so every enabled method yields a finite row.
     """
-    out: Dict[str, np.ndarray] = {}
+    maee_acc: Dict[str, list] = {}
+    nmse_acc: Dict[str, list] = {}
+    m_grids, g_grids = [], []
     for r_i, sr in enumerate(ranges_deg):
-        res = sweep_measurements(jax.random.fold_in(key, r_i), m_grid, sim,
-                                 searching_area=float(sr))
-        for name, curve in res.nmse.items():
-            arr = out.setdefault(name, np.full(len(ranges_deg), np.nan))
-            ok = np.where(curve <= nmse_target)[0]
-            arr[r_i] = m_grid[ok[0]] if len(ok) else np.nan
-    return out
+        if m_grid is not None:
+            ms = tuple(m_grid)
+            gs = tuple(g_grid) if g_grid is not None \
+                else (sim.array.grid_t,) * len(ms)
+        else:
+            try:
+                ms, gs = VS_SR_GRIDS[int(round(sr))]
+            except KeyError:
+                raise ValueError(
+                    f"no reference (M, G) grid for range {sr}deg "
+                    f"(table covers {sorted(VS_SR_GRIDS)}); pass m_grid")
+        m_grids.append(list(ms))
+        g_grids.append(list(gs))
+        maee_r: Dict[str, list] = {}
+        nmse_r: Dict[str, list] = {}
+        for j, (m_j, g_j) in enumerate(zip(ms, gs)):
+            sim_j = dataclasses.replace(
+                sim, array=dataclasses.replace(sim.array, nqt=int(g_j),
+                                               nqr=int(g_j)))
+            mt, mr = _mt_mr(sim_j, m_j)
+            nm, an, _ = _one_cell(
+                jax.random.fold_in(key, r_i * 1024 + j), sim_j, mt, mr,
+                float(sr))
+            for k, v in an.items():
+                maee_r.setdefault(k, []).append(v)
+            for k, v in nm.items():
+                nmse_r.setdefault(k, []).append(v)
+            jax.clear_caches()     # every point has fresh shapes
+        for k, v in maee_r.items():
+            maee_acc.setdefault(k, []).append(np.asarray(v))
+        for k, v in nmse_r.items():
+            nmse_acc.setdefault(k, []).append(np.asarray(v))
+
+    m_needed: Dict[str, np.ndarray] = {}
+    for k, curves in maee_acc.items():
+        sel = np.full((len(ranges_deg), len(maee_targets)), np.nan)
+        for r_i, curve in enumerate(curves):
+            ms = m_grids[r_i]
+            for t_i, tgt in enumerate(maee_targets):
+                p = int(np.nanargmin(np.abs(np.asarray(curve) - tgt)))
+                mt, mr = _mt_mr(sim, ms[p])
+                sel[r_i, t_i] = mt * mr
+        m_needed[k] = sel
+    return VsSrResult(ranges=np.asarray(ranges_deg),
+                      maee_targets=tuple(maee_targets),
+                      m_needed=m_needed, maee_curves=maee_acc,
+                      nmse_curves=nmse_acc, m_grids=m_grids,
+                      g_grids=g_grids)
 
 
 def sweep_measurements_trace(key, h_traces, m_grid: Sequence[int],

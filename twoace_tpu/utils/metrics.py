@@ -103,6 +103,38 @@ def angles_from_sparse(z_rec, cfg: ArrayConfig, tx_window, rx_window,
     return aod, aoa
 
 
+def sparse_projection_omp(vec_h, ad, n_paths: int):
+    """Project an H-domain estimate onto the sparse dictionary: dense z with
+    an ``n_paths``-column OMP support such that ``vec_h ~= AD z``.
+
+    Gives direct vec-H solvers (the A2 family) the same AoD/AoA readout the
+    sparse-domain baselines get from their z (Evaluation_Recovery.m:85-126
+    reads angles off the top-L support) — the reference never needed this
+    because its angle figures only ran z-domain methods.  Gram-free on
+    purpose: the dictionary can have P ~ G^2 columns and an n x n Gram at
+    P = 5625 is 250 MB; with L <= a few paths the step-wise products are
+    O(L P n).
+
+    ``vec_h``: (n,) complex; ``ad``: (n, P).  Returns dense (P,) z.
+    """
+    n, p = ad.shape
+    resid = vec_h
+    sel = jnp.zeros((n_paths,), jnp.int32)
+    for t in range(n_paths):                     # static, tiny
+        corr = jnp.abs(jnp.conj(ad.T) @ resid)   # (P,)
+        # exclude already-selected columns (one-hot mask of sel[:t])
+        if t:
+            taken = jnp.zeros((p,), bool).at[sel[:t]].set(True)
+            corr = jnp.where(taken, -1.0, corr)
+        sel = sel.at[t].set(jnp.argmax(corr).astype(jnp.int32))
+        cols = ad[:, sel[:t + 1]]                # (n, t+1) gather
+        g = jnp.conj(cols.T) @ cols + 1e-12 * jnp.eye(t + 1, dtype=ad.dtype)
+        coef = jnp.linalg.solve(g, jnp.conj(cols.T) @ vec_h)
+        resid = vec_h - cols @ coef
+    z = jnp.zeros((p,), ad.dtype)
+    return z.at[sel].set(coef)
+
+
 def angle_error(aod_est, aoa_est, aod_true, aoa_true) -> AngleEstimate:
     """Sorted-pair angle errors (ref: Evaluation_Recovery.m:128-148).
 

@@ -187,6 +187,12 @@ def test_bench_sweep_r04_warm_phase_bounds():
         # downstream metric needs)
         assert warm["median_nmse_db"] <= -80.0, warm
         assert cold["median_nmse_db"] <= -100.0, cold
+        # ACCURACY CONTRACT (config.AdmmConfig.warm_iters): the warm
+        # floor must sit with >= 20 dB margin below the -60 dB band where
+        # reference parity is judged (test_parity.py's +-0.5 dB checks);
+        # every downstream consumer (campaign artifacts ~-30 dB, quality
+        # gates ~0.1-0.4 magnitude residuals) operates far above it.
+        assert warm["median_nmse_db"] <= -60.0 - 20.0, warm
     assert pts[(256, 80)]["recoveries_per_s"] > 90.0
 
 

@@ -153,6 +153,20 @@ class AdmmConfig:
     #: the last decades (see scripts/bench_batch_sweep.py for the measured
     #: A/B).  0 disables (pure ``matmul_precision`` throughout); no effect
     #: on CPU (f32 is exact there).
+    #:
+    #: ACCURACY CONTRACT.  On the bench workload the warm schedule floors
+    #: the median solution at ~-95 dB NMSE vs ~-113 dB cold
+    #: (BENCH_sweep_r04.json) — both are DEEP below every accuracy level
+    #: this framework's evidence or gates operate at: reference parity is
+    #: judged at +-0.5 dB around roughly -60 dB (test_parity.py), the
+    #: campaign artifacts live above -30 dB, and the quality/rollback
+    #: gates compare magnitude-domain residuals of order 0.1-0.4.  So
+    #: warm_iters trades headroom that nothing downstream consumes for
+    #: ~30% throughput; tests/test_artifacts.py pins the warm-schedule
+    #: floor safely below the -60 dB parity-relevant band.  Entry-point
+    #: defaults: library solvers and campaign CLIs default to 0 (cold,
+    #: full precision end-to-end); only bench.py and the batch-throughput
+    #: scripts pass warm_iters=80 explicitly.
     warm_iters: int = 0
 
 

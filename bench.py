@@ -273,7 +273,10 @@ def bench_single_latency(reps: int = 10):
     ap = Pair(jnp.asarray(a.real, jnp.float32),
               jnp.asarray(a.imag, jnp.float32))
     b = jnp.asarray(np.abs(a @ x), jnp.float32)
-    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS)
+    # COLD config: the warm-80 schedule is a batch-throughput knob — on
+    # the single-recovery path its two-phase graph roughly doubles wall
+    # time (measured r05: 198 vs 78 ms wall, BENCH_kernelprec_r05.json)
+    cfg = AdmmConfig(maxiter=MAXITER)
     key = jax.random.PRNGKey(0)
     int(np.asarray(solve_lowrank_multi_pair(key, ap, b, NT, NR, cfg).iters))
     # synchronous: device + tunnel round-trip per call

@@ -3,12 +3,11 @@
 If ADMM started AT THE TRUTH still walks away to ~0 dB, the magnitude-LS
 objective itself is the low-SNR limiter; if truth-init holds a good
 solution, the spectral init's noise collapse is the limiter and a sparse
-(PLOMP) init is a deployable fix.
+(PLOMP) seed is a deployable fix (solve_lowrank_multi(x_seed=...)).
 
-Variants: spectral (control) / truth-init (oracle bound) / plomp-init
-(deployable hybrid: stage-1 sparse recovery seeds every ADMM column).
+Variants: spectral (control) / truth-seed (oracle bound) / plomp-seed
+(deployable hybrid).
 """
-import dataclasses
 import json
 import sys
 
@@ -25,7 +24,7 @@ import twoace_tpu as t2
 from twoace_tpu.config import AdmmConfig, MethodFlags
 from twoace_tpu.models import (generate_channel, generate_measurement,
                                sparse_formulation)
-from twoace_tpu.ops import admm as admm_mod
+from twoace_tpu.ops.admm import solve_lowrank_multi
 from twoace_tpu.ops.dispatch import recover_sparse
 from twoace_tpu.sensing import generate_sensing_matrix
 from twoace_tpu.utils.metrics import nmse_h_projection
@@ -37,27 +36,23 @@ SEARCH = 95.0
 PATHS = 3
 SNRS = [0.0, 5.0, 10.0]
 
-orig_spectral = admm_mod.spectral_initialize
-
-
-def make_init_override(x_seed):
-    """spectral_initialize stand-in: every column = seed + small jitter."""
-    def init(a, b, r, method="subspace", eig_backend="jacobi", key=None):
-        r = min(r, a.shape[0], a.shape[1])
-        base = jnp.tile(x_seed[:, None], (1, r))
-        if key is not None:
-            k1, k2 = jax.random.split(key)
-            jit_ = (jax.random.normal(k1, base.shape) +
-                    1j * jax.random.normal(k2, base.shape))
-            base = base + 0.05 * jnp.linalg.norm(x_seed) * jit_.astype(
-                base.dtype) / np.sqrt(base.size)
-        return base.astype(a.dtype)
-    return init
-
 
 def main():
     cfg = t2.ArrayConfig(nt=NT, nr=NT)
+    acfg = AdmmConfig()
+    flags = MethodFlags(plomp=True, plgamp=False, admm_lowrank_v4=False)
     out = []
+
+    def solve_plain(k, a, bb):
+        return solve_lowrank_multi(k, a, bb, cfg.nt, cfg.nr, acfg).x
+
+    def solve_seeded(k, a, bb, seed):
+        return solve_lowrank_multi(k, a, bb, cfg.nt, cfg.nr, acfg,
+                                   x_seed=seed).x
+
+    v_plain = jax.vmap(solve_plain)
+    v_seed = jax.vmap(solve_seeded)
+
     for i, snr in enumerate(SNRS):
         key = jax.random.fold_in(jax.random.PRNGKey(1), i)
         ks = jax.random.split(key, 4)
@@ -72,10 +67,8 @@ def main():
         meas = generate_measurement(ks[2], sensing.fw, ch.vec_h, snr, True,
                                     w=None, mt=M)
         b = jnp.sqrt(meas.norm_square)
-        acfg = AdmmConfig()
-        flags = MethodFlags(plomp=True, plgamp=False, admm_lowrank_v4=False)
+        keys = jax.random.split(jax.random.fold_in(ks[3], 99), TRIALS)
 
-        # PLOMP per instance -> vec_h seeds
         seeds_plomp, nmse_plomp = [], []
         for u in range(TRIALS):
             res = recover_sparse(jax.random.fold_in(ks[3], u),
@@ -89,25 +82,17 @@ def main():
 
         row = {"snr_db": snr,
                "plomp_db": round(10 * np.log10(np.mean(nmse_plomp)), 2)}
-
         for name, seeds in [("spectral", None),
-                            ("truth", np.asarray(ch.vec_h)),
-                            ("plomp_init", np.stack(seeds_plomp))]:
-            per = []
-            for u in range(TRIALS):
-                if seeds is None:
-                    admm_mod.spectral_initialize = orig_spectral
-                else:
-                    admm_mod.spectral_initialize = make_init_override(
-                        jnp.asarray(seeds[u]))
-                jax.clear_caches()
-                res = admm_mod.solve_lowrank_multi(
-                    jax.random.fold_in(ks[3], 100 + u), sensing.fw[u], b[u],
-                    cfg.nt, cfg.nr, acfg)
-                per.append(float(nmse_h_projection(
-                    res.x[None], ch.vec_h[u:u + 1])[0]))
-            row[f"a2_{name}_db"] = round(10 * np.log10(np.mean(per)), 2)
-        admm_mod.spectral_initialize = orig_spectral
+                            ("truth", jnp.asarray(ch.vec_h)),
+                            ("plomp_seed",
+                             jnp.asarray(np.stack(seeds_plomp)))]:
+            if seeds is None:
+                xs = v_plain(keys, sensing.fw, b)
+            else:
+                xs = v_seed(keys, sensing.fw, b, seeds)
+            per = np.asarray(nmse_h_projection(xs, ch.vec_h))
+            row[f"a2_{name}_db"] = round(
+                float(10 * np.log10(np.mean(per))), 2)
         out.append(row)
         print(json.dumps(row), flush=True)
     with open("/tmp/diag_lowsnr_init.json", "w") as f:

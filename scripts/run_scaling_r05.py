@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Round-5 scaling artifact: SCALING_r05.json (VERDICT r04 #5).
+
+What it replaces: the r04 "strong_scaling_speedup: 2.108" — superlinear
+on 2 shared CPU cores and therefore a measurement artifact.  This round
+separates the three claims properly:
+
+1. **Virtual-mesh wall tables** (weak + strong) for the PRODUCTION
+   scaffold ``solve_lowrank_multi_sharded_pair`` at 16x16 over 1/2/4/8
+   devices.  On a 2-physical-core host these measure CORE throughput
+   beyond D=2, so each table reports raw wall plus a 2-core-roofline
+   normalized efficiency (eff_core = T_roofline / T_measured with
+   T_roofline = T1 * max(1, D/cores) for strong scaling) — the honest
+   number this host can produce.
+2. **Compiled-graph collective accounting**: the all-reduce bytes per
+   solve are read from the COMPILED row-sharded HLO (not hand-derived),
+   then combined with v5e ICI bandwidth/latency to predict multi-chip
+   efficiency at rows = 2/4/8 against the BASELINE.md >= 0.8 target.
+   This is the quantity that transfers to real chips.
+3. **The 32x32 production-scaffold mesh point** (r04 could not afford
+   it): maxiter cut to 40 and the persistent compile cache make the
+   production shape run on the virtual mesh at all; compile seconds are
+   recorded so the next round knows the cost.
+
+Run:  python scripts/run_scaling_r05.py    (CPU, ~30-45 min)
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import numpy as np          # noqa: E402
+import jax                  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".jax_cache_cpu"))
+
+import jax.numpy as jnp     # noqa: E402
+
+NCORES = os.cpu_count() or 2
+
+
+def build(nt, m, batch, seed=0):
+    from twoace_tpu.ops.cplx import Pair
+
+    n = nt * nt
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 4, (batch, m, n))
+    a = np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)
+
+    def steer(nn, ang):
+        return np.exp(1j * np.pi * np.arange(nn) * np.sin(ang)) / np.sqrt(nn)
+
+    xs, bs = [], []
+    for u in range(batch):
+        angs = rng.uniform(-1.2, 1.2, 4)
+        h = sum((rng.normal() + 1j * rng.normal())
+                * np.outer(steer(nt, angs[2 * i]),
+                           steer(nt, angs[2 * i + 1]).conj())
+                for i in range(2))
+        x = h.T.reshape(-1)
+        xs.append(x)
+        bs.append(np.abs(a[u] @ x))
+    ap = Pair(jnp.asarray(a.real, jnp.float32),
+              jnp.asarray(a.imag, jnp.float32))
+    return ap, jnp.asarray(np.stack(bs), jnp.float32), np.stack(xs)
+
+
+def _solve_sharded(mesh, keys, ap, b, nt, cfg):
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel.mesh import problem_sharding
+    from twoace_tpu.parallel.sharded_pair import (
+        solve_lowrank_multi_sharded_pair)
+
+    a_sh, b_sh = problem_sharding(mesh)
+    a_put = Pair(jax.device_put(ap.re, a_sh), jax.device_put(ap.im, a_sh))
+    b_put = jax.device_put(b, b_sh)
+    k_put = jax.device_put(keys)
+    t0 = time.perf_counter()
+    xs, qs = solve_lowrank_multi_sharded_pair(mesh, k_put, a_put, b_put,
+                                              nt, nt, cfg)
+    np.asarray(xs.re)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    xs, qs = solve_lowrank_multi_sharded_pair(mesh, k_put, a_put, b_put,
+                                              nt, nt, cfg)
+    x = np.asarray(xs.re) + 1j * np.asarray(xs.im)
+    wall_s = time.perf_counter() - t0
+    return x, np.asarray(qs), wall_s, compile_s
+
+
+def _nmse_db(x, x_true):
+    c = np.vdot(x, x_true) / max(np.vdot(x, x).real, 1e-30)
+    return 10 * np.log10(max(np.linalg.norm(x_true - c * x) ** 2
+                             / np.linalg.norm(x_true) ** 2, 1e-30))
+
+
+def strong_weak_16(maxiter=150):
+    """Production scaffold over the batch axis at 16x16 / m = 512."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.parallel.mesh import make_mesh
+
+    nt, m = 16, 512
+    cfg = AdmmConfig(maxiter=maxiter, n_restarts=2)
+    out = {"workload": {"nt": nt, "m": m, "maxiter": maxiter,
+                        "n_restarts": 2}}
+
+    # strong: 8 instances total, D in {1, 2, 4, 8}
+    ap8, b8, xt8 = build(nt, m, 8, seed=5)
+    keys8 = jax.random.split(jax.random.PRNGKey(0), 8)
+    strong = []
+    for d in (1, 2, 4, 8):
+        mesh = make_mesh(batch=d, rows=1, devices=jax.devices()[:d])
+        x, q, wall, comp = _solve_sharded(mesh, keys8, ap8, b8, nt, cfg)
+        strong.append({"devices": d, "wall_s": round(wall, 2),
+                       "compile_s": round(comp, 1),
+                       "min_quality": round(float(q.min()), 3),
+                       "median_nmse_db": round(float(np.median(
+                           [_nmse_db(x[u], xt8[u]) for u in range(8)])), 1)})
+        print(json.dumps(strong[-1]), flush=True)
+    t1 = strong[0]["wall_s"]
+    for row in strong:
+        d = row["devices"]
+        row["speedup"] = round(t1 / row["wall_s"], 3)
+        row["eff_raw"] = round(t1 / (d * row["wall_s"]), 3)
+        # 2-core roofline: beyond NCORES devices the host cannot speed up
+        roofline = t1 / min(d, NCORES)
+        row["eff_core_roofline"] = round(roofline / row["wall_s"], 3)
+    out["strong"] = strong
+
+    # weak: one instance per device
+    weak = []
+    for d in (1, 2, 4, 8):
+        ap, b, xt = build(nt, m, d, seed=6)
+        keys = jax.random.split(jax.random.PRNGKey(1), d)
+        mesh = make_mesh(batch=d, rows=1, devices=jax.devices()[:d])
+        x, q, wall, comp = _solve_sharded(mesh, keys, ap, b, nt, cfg)
+        weak.append({"devices": d, "wall_s": round(wall, 2),
+                     "compile_s": round(comp, 1),
+                     "min_quality": round(float(q.min()), 3)})
+        print(json.dumps(weak[-1]), flush=True)
+    t1 = weak[0]["wall_s"]
+    for row in weak:
+        d = row["devices"]
+        row["eff_raw"] = round(t1 / row["wall_s"], 3)
+        roofline = t1 * max(1, d / NCORES)
+        row["eff_core_roofline"] = round(roofline / row["wall_s"], 3)
+    out["weak"] = weak
+    out["note"] = (f"{NCORES} physical cores host 8 virtual devices: raw "
+                   "efficiency beyond D=2 measures core oversubscription, "
+                   "not mesh scaling — eff_core_roofline divides out the "
+                   "core limit; the transferable multi-chip number is the "
+                   "collective accounting below")
+    return out
+
+
+def collective_accounting(maxiter=150):
+    """All-reduce bytes per solve read from the COMPILED row-sharded HLO,
+    mapped to v5e ICI numbers."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel.mesh import make_mesh, problem_sharding
+    from twoace_tpu.parallel.sharded_pair import (
+        solve_lowrank_multi_sharded_pair)
+
+    nt, m, rows = 16, 512, 2
+    cfg = AdmmConfig(maxiter=maxiter, n_restarts=2)
+    ap, b, _ = build(nt, m, 1, seed=7)
+    keys = jax.random.split(jax.random.PRNGKey(2), 1)
+    mesh = make_mesh(batch=1, rows=rows, devices=jax.devices()[:rows])
+    a_sh, b_sh = problem_sharding(mesh)
+    a_put = Pair(jax.device_put(ap.re, a_sh), jax.device_put(ap.im, a_sh))
+    b_put = jax.device_put(b, b_sh)
+    lowered = solve_lowrank_multi_sharded_pair.lower(
+        mesh, jax.device_put(keys), a_put, b_put, nt, nt, cfg)
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+
+    # every all-reduce instruction shape, e.g. "f32[20,256]{1,0} all-reduce("
+    shapes = re.findall(r"f32\[([\d,]*)\][^ ]* all-reduce", hlo)
+    sizes = []
+    for s in shapes:
+        dims = [int(d) for d in s.split(",") if d] or [1]
+        sizes.append(int(np.prod(dims)) * 4)
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
+    # ICI model (v5e): 186 GB/s per link per direction, ~1 us latency.
+    # Ring all-reduce of size S over R chips moves 2S(R-1)/R bytes per
+    # chip; compute per chip divides by R.
+    chip_flops = 27e12
+    ici_bw, ici_lat = 186e9, 1e-6
+    n_ar = len(sizes)
+    bytes_total = float(np.sum(sizes))
+    pred = {}
+    for r_chips in (2, 4, 8):
+        t_comp = (flops or 0.0) / r_chips / chip_flops
+        t_comm = (2 * bytes_total * (r_chips - 1) / r_chips / ici_bw
+                  + n_ar * ici_lat)
+        pred[f"rows{r_chips}"] = round(t_comp / (t_comp + t_comm), 3) \
+            if flops else None
+    return {
+        "workload": {"nt": nt, "m": m, "rows_compiled": rows,
+                     "maxiter": maxiter},
+        "all_reduce_count_in_graph": n_ar,
+        "all_reduce_bytes_total": bytes_total,
+        "largest_all_reduce_bytes": max(sizes) if sizes else 0,
+        "compiled_flops": flops,
+        "predicted_ici_efficiency": pred,
+        "note": "bytes from the compiled HLO (loop bodies appear once; "
+                "XLA unrolls nothing here, while-loop trip counts multiply "
+                "BOTH compute and comm so they cancel in the efficiency "
+                "ratio); prediction uses a ring all-reduce on v5e ICI",
+    }
+
+
+def production_32(maxiter=40):
+    """The production scaffold at the 32x32 shape on the mesh (r04 gap)."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.parallel.mesh import make_mesh
+
+    nt, m = 32, 4096
+    cfg = AdmmConfig(maxiter=maxiter, n_restarts=2)
+    ap, b, xt = build(nt, m, 1, seed=9)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1)
+    mesh = make_mesh(batch=1, rows=2, devices=jax.devices()[:2])
+    x, q, wall, comp = _solve_sharded(mesh, keys, ap, b, nt, cfg)
+    return {"workload": {"nt": nt, "m": m, "maxiter": maxiter,
+                         "n_restarts": 2, "mesh": "1 batch x 2 rows"},
+            "wall_s": round(wall, 2), "compile_s": round(comp, 1),
+            "quality": round(float(q[0]), 3),
+            "nmse_db": round(float(_nmse_db(x[0], xt[0])), 1),
+            "note": "maxiter cut to 40 keeps the production 32x32 sharded "
+                    "graph compilable on the virtual mesh (r04 could not "
+                    "run it at all); quality gate semantics unchanged"}
+
+
+def main():
+    t_start = time.time()
+    out = {"harness": "scripts/run_scaling_r05.py",
+           "physical_cores": NCORES,
+           "baseline_target": ">= 0.8 scaling efficiency at >= 2 devices "
+                              "(BASELINE.md)"}
+    out["production_16"] = strong_weak_16()
+    out["collective_accounting"] = collective_accounting()
+    out["production_32"] = production_32()
+    out["total_runtime_s"] = round(time.time() - t_start, 1)
+    path = os.path.join(ROOT, "SCALING_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

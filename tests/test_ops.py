@@ -178,6 +178,28 @@ def test_solve_lowrank_multi_recovers_channel(key, prox_kind):
     assert float(res.quality) > 0.8
 
 
+def test_solve_lowrank_multi_x_seed(key):
+    """x_seed warm-start hook: a truth seed must not degrade recovery (the
+    scaffold's ArgMinX arbitration keeps the best column either way), and
+    a garbage seed must be survivable — recovery still succeeds off the
+    spectral columns."""
+    cfg = ArrayConfig(nt=8, nr=8)
+    ch = generate_channel(key, cfg, ChannelConfig(n_paths=2, rician_k=0),
+                          batch=1, dtype=jnp.complex128)
+    n = cfg.n
+    m = 4 * n
+    k2 = jax.random.fold_in(key, 2)
+    phases = jax.random.randint(k2, (m, n), 0, 4)
+    a = jnp.exp(1j * phases * (np.pi / 2)) / np.sqrt(n)
+    b = jnp.abs(a @ ch.vec_h[0])
+    for seed in [jnp.asarray(ch.vec_h[0]),
+                 jnp.ones((n,), jnp.complex128)]:
+        res = solve_lowrank_multi(jax.random.fold_in(key, 3), a, b, cfg.nt,
+                                  cfg.nr, AdmmConfig(), x_seed=seed)
+        nmse = float(nmse_h_projection(res.x[None], ch.vec_h)[0])
+        assert nmse < 0.1, f"nmse={nmse} ({10*np.log10(nmse):.1f} dB)"
+
+
 def test_solve_minl2_runs(key):
     cfg = ArrayConfig(nt=4, nr=4)
     ch = generate_channel(key, cfg, ChannelConfig(n_paths=1, rician_k=0),

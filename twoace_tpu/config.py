@@ -168,6 +168,18 @@ class AdmmConfig:
     #: full precision end-to-end); only bench.py and the batch-throughput
     #: scripts pass warm_iters=80 explicitly.
     warm_iters: int = 0
+    #: In-kernel precision for the Pallas megakernel on the SINGLE-SOLVE
+    #: path (ops/pallas/solver_kernel.py).  "default" = kernel only
+    #: engages in matmul_precision="default" mode (single-pass bf16, -46
+    #: dB floor — the r04 status quo).  "split3" = 3-pass compensated
+    #: bf16 matmuls (~2^-16 per-product error) — convergence-class (-100
+    #: dB at normal iteration counts), engages the kernel under the
+    #: production float32 precision, but MEASURED SLOWER than the XLA
+    #: float32 path at the bench shape (48.4 vs 34.5 ms on-chip,
+    #: BENCH_kernelprec_r05.json) — kept for bench/ablation use, not the
+    #: production default.  "highest" = Mosaic's native multi-pass f32
+    #: emulation (fails to compile at m~1k on the current toolchain).
+    kernel_precision: str = "default"
 
 
 @dataclasses.dataclass(frozen=True)

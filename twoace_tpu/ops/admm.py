@@ -326,20 +326,30 @@ def solve_lowrank_multi(key, a, b, nt: int, nr: int,
                         prox_kind: str = "spectral_profile",
                         eig_backend: str = "jacobi",
                         n_restarts: Optional[int] = None,
-                        ladder_m: Optional[int] = None) -> AdmmResult:
+                        ladder_m: Optional[int] = None,
+                        x_seed=None) -> AdmmResult:
     """The 2ACE "A2" solver (ADMMLowRankV4): inferLowRankV4_multi.
     See :func:`_solve_lowrank_multi_impl` for the full contract; this
     wrapper applies ``cfg.matmul_precision`` at trace time (same policy
     as the pair solvers — a no-op on CPU, the usual home of this
     complex-dtype path, but on complex-capable accelerators the context
-    is what makes the residual convergence tests actually fire)."""
+    is what makes the residual convergence tests actually fire).
+
+    ``x_seed`` (optional, (n,) complex): a caller-provided warm-start
+    direction — e.g. a sparse-CS estimate — planted in column 0 of every
+    restart's init alongside the spectral columns.  The scaffold's own
+    machinery arbitrates: ArgMinX picks the best column post-solve, so a
+    bad seed costs nothing and a good one moves the basin (framework
+    extension; the reference has no seeding hook)."""
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _solve_lowrank_multi_impl(key, a, b, nt, nr, cfg, prox_kind,
-                                         eig_backend, n_restarts, ladder_m)
+                                         eig_backend, n_restarts, ladder_m,
+                                         x_seed)
 
 
 def _solve_lowrank_multi_impl(key, a, b, nt, nr, cfg, prox_kind,
-                              eig_backend, n_restarts, ladder_m) -> AdmmResult:
+                              eig_backend, n_restarts, ladder_m,
+                              x_seed=None) -> AdmmResult:
     """The 2ACE "A2" solver (ADMMLowRankV4): inferLowRankV4_multi.
 
     ref: inferLowRankV4_multi.m:5-109.  ``n_restarts=1`` reproduces the
@@ -378,6 +388,14 @@ def _solve_lowrank_multi_impl(key, a, b, nt, nr, cfg, prox_kind,
         a_te, b_te = a[test], b[test]
 
         xs = spectral_initialize(a_tr, b_tr, r, key=k_init)
+        if x_seed is not None:
+            # plant the caller's warm-start direction in column 0, scaled
+            # to the spectral columns' norm level (the problem was
+            # normalized above, the seed was not)
+            seed = x_seed.astype(xs.dtype)
+            seed = seed / jnp.maximum(jnp.linalg.norm(seed), 1e-30)
+            col = jnp.linalg.norm(xs, axis=0).mean()
+            xs = xs.at[:, 0].set(seed * col.astype(xs.dtype))
         x, y, _ = _impl(a_tr, b_tr, xs, nt, nr, False, cfg, prox_kind,
                         eig_backend, ladder_m=lm_tr)
         q = _quality(a_te, b_te, x)

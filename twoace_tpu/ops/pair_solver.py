@@ -298,7 +298,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
                     use_pallas: Optional[bool] = None,
                     warm_iters: int = 0,
                     anchor: Optional[Pair] = None,
-                    anchor_weight: float = 0.0):
+                    anchor_weight: float = 0.0,
+                    kernel_precision: str = "default"):
     """One InferADMM solve in transposed pair layout.
 
     Mirrors :func:`.admm.infer_admm` (ref: inferLowRankV4_multi.m:281-386):
@@ -394,7 +395,8 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
     # all state VMEM-resident (see ops/pallas/solver_kernel.py).  Same
     # gating as the per-op kernels plus TWOACE_MEGAKERNEL (default on
     # whenever the per-op kernels are on).
-    if (use_pallas and has_z and prox_kind == "spectral_profile"
+    if ((use_pallas or kernel_precision != "default") and has_z
+            and prox_kind == "spectral_profile"
             and eig_mode == "perturb" and isinstance(v_basis, Pair)
             and isinstance(ladder, tuple)
             and not isinstance(ladder, LadderArrays)
@@ -408,7 +410,10 @@ def infer_admm_pair(a: Pair, b, x0: Pair, *, scale_by_row: bool,
             tol_rel=tol_rel, tol_abs=tol_abs, maxiter=maxiter,
             # off-TPU (forced TWOACE_PALLAS=1, e.g. CPU parity tests) the
             # kernel runs in interpret mode
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            # "split3"/"highest" make the kernel convergence-class (see
+            # solver_kernel.py) — the production float32 path can engage it
+            precision=kernel_precision)
 
     init = dict(y=y, z=z, m_dual=_zeros((r, m)),
                 n_dual=_zeros((r, n)) if has_z else _zeros((1, 1)),
@@ -639,7 +644,8 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
     kw = dict(nt=nt, nr=nr, ladder=ladder, u_mat=u_mat, prox_kind=prox_kind,
               mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode,
-              use_pallas=use_pallas, warm_iters=cfg.warm_iters)
+              use_pallas=use_pallas, warm_iters=cfg.warm_iters,
+              kernel_precision=cfg.kernel_precision)
     x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
     x = _orthonormalize_cols_t(x)
     x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
@@ -669,7 +675,8 @@ def _refine_cond_pair(a, b, x0, nt, nr, rank_one_flag, cfg, prox_kind,
             a, b, x0, scale_by_row=True, nt=nt, nr=nr, ladder=ladder,
             prox_kind=prox_kind, mu0=cfg.mu0, rho=cfg.rho,
             tol_rel=cfg.tol_rel, tol_abs=cfg.tol_abs, maxiter=cfg.maxiter,
-            eig_mode=eig_mode, use_pallas=use_pallas)
+            eig_mode=eig_mode, use_pallas=use_pallas,
+            kernel_precision=cfg.kernel_precision)
         return x, y, it
 
     return lax.cond(rank_one_flag, lambda: run(True), lambda: run(False))
@@ -960,9 +967,12 @@ def solve_lowrank_multi_pair(key, a: Pair, b, nt: int, nr: int,
     """
     n_restarts = cfg.n_restarts if n_restarts is None else n_restarts
     # cfg.matmul_precision: "float32" (default) makes the residual tests
-    # actually converge on TPU MXUs (see config.AdmmConfig); the Pallas
-    # megakernel iterates at the chip's single-pass precision internally,
-    # so it only engages in "default"-precision mode.
+    # actually converge on TPU MXUs (see config.AdmmConfig).  The Pallas
+    # megakernel iterates single-pass internally in its "default" mode, so
+    # per-op/mega kernels auto-engage only under "default" precision —
+    # UNLESS cfg.kernel_precision selects a convergence-class in-kernel
+    # mode ("split3"/"highest"), which engages the megakernel under the
+    # production float32 precision too (threaded via _impl_pair).
     up = None if cfg.matmul_precision == "default" else False
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _solve_lowrank_core(key, a, b, nt, nr, cfg, prox_kind,

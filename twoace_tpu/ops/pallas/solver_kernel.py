@@ -39,26 +39,74 @@ from jax.experimental.pallas import tpu as pltpu
 from ..cplx import Pair
 
 
-def _dg(x, y, ca: int, cb: int):
+def _dg(x, y, ca: int, cb: int, prec=None):
     return jax.lax.dot_general(x, y, (((ca,), (cb,)), ((), ())),
+                               precision=prec,
                                preferred_element_type=jnp.float32)
 
 
-def _pm(ar, ai, br, bi):
+def _pm(ar, ai, br, bi, prec=None):
     """Standard complex matmul (contract last of A with first of B),
     Karatsuba 3M form."""
-    k1 = _dg(ar, br + bi, 1, 0)
-    k2 = _dg(ar + ai, bi, 1, 0)
-    k3 = _dg(ai - ar, br, 1, 0)
+    k1 = _dg(ar, br + bi, 1, 0, prec)
+    k2 = _dg(ar + ai, bi, 1, 0, prec)
+    k3 = _dg(ai - ar, br, 1, 0, prec)
     return k1 - k2, k1 + k3
 
 
-def _pm_bt(ar, ai, br, bi):
+def _pm_bt(ar, ai, br, bi, prec=None):
     """A @ B^T (contract axis 1 of both)."""
-    k1 = _dg(ar, br + bi, 1, 1)
-    k2 = _dg(ar + ai, bi, 1, 1)
-    k3 = _dg(ai - ar, br, 1, 1)
+    k1 = _dg(ar, br + bi, 1, 1, prec)
+    k2 = _dg(ar + ai, bi, 1, 1, prec)
+    k3 = _dg(ai - ar, br, 1, 1, prec)
     return k1 - k2, k1 + k3
+
+
+# ---------------------------------------------------------------------------
+# 3-pass compensated ("split3") matmul: decompose each float32 operand into
+# a bf16 hi/lo pair (x = hi + lo + O(2^-16 |x|)) and take three single-pass
+# bf16 MXU products hi*hi + hi*lo + lo*hi, accumulating in f32.  Relative
+# error ~2^-16 per product — deep enough for the solver's tol_rel=1e-4
+# residual tests — at HALF the MXU passes of the XLA float32 emulation
+# (6-pass), which is the whole point: the XLA production path pays 6 passes
+# per real dot, this kernel pays 3 (VERDICT r04 #6).
+# ---------------------------------------------------------------------------
+
+def _split(v):
+    hi = v.astype(jnp.bfloat16)
+    return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dg3(xs, ys, ca: int, cb: int):
+    """dot_general over pre-split operands ``xs = (hi, lo)``.  bf16 inputs
+    are single-pass on the MXU at any precision; DEFAULT is pinned
+    explicitly so no ambient jax.default_matmul_precision can leak in."""
+    xh, xl = xs
+    yh, yl = ys
+    d = jax.lax.Precision.DEFAULT
+    return (_dg(xh, yh, ca, cb, d) + _dg(xh, yl, ca, cb, d)
+            + _dg(xl, yh, ca, cb, d))
+
+
+def _pm3(xr, xi, bs, contract_b: int):
+    """Karatsuba complex matmul against a PRE-SPLIT constant operand
+    ``bs = (br, bi, br+bi)`` each as a (hi, lo) pair; the dynamic (xr, xi)
+    side is split on the fly (cheap VPU work vs 3 MXU passes saved).
+    ``contract_b``: 0 for A@B, 1 for A@B^T."""
+    br_s, bi_s, bsum_s = bs
+    xr_s = _split(xr)
+    xi_s = _split(xi)
+    xsum_s = _split(xr + xi)
+    xdif_s = _split(xi - xr)
+    k1 = _dg3(xr_s, bsum_s, 1, contract_b)
+    k2 = _dg3(xsum_s, bi_s, 1, contract_b)
+    k3 = _dg3(xdif_s, br_s, 1, contract_b)
+    return k1 - k2, k1 + k3
+
+
+def _presplit3(br, bi):
+    """(br, bi, br+bi) hi/lo pairs for :func:`_pm3`."""
+    return (_split(br), _split(bi), _split(br + bi))
 
 
 def _fro2(xr, xi):
@@ -67,7 +115,7 @@ def _fro2(xr, xi):
 
 def _perturb_ladder(g_re, g_im, vr, vi, ladder,
                     rel_gap: float = 1e-3, max_norm: float = 0.7,
-                    ns_steps: int = 1):
+                    ns_steps: int = 1, prec=None):
     """Warm perturbative eigenbasis update + constraint-ladder scales.
 
     Pure-value core shared with :func:`.kernels._zprox_kernel` semantics
@@ -78,12 +126,12 @@ def _perturb_ladder(g_re, g_im, vr, vi, ladder,
     eye = jnp.eye(nr, dtype=jnp.float32)
 
     def t16(x):
-        return _dg(x, eye, 0, 0)
+        return _dg(x, eye, 0, 0, prec)
 
-    p_re = _dg(g_re, vr, 1, 0) - _dg(g_im, vi, 1, 0)
-    p_im = _dg(g_re, vi, 1, 0) + _dg(g_im, vr, 1, 0)
-    gr_re = _dg(vr, p_re, 0, 0) + _dg(vi, p_im, 0, 0)
-    gr_im = _dg(vr, p_im, 0, 0) - _dg(vi, p_re, 0, 0)
+    p_re = _dg(g_re, vr, 1, 0, prec) - _dg(g_im, vi, 1, 0, prec)
+    p_im = _dg(g_re, vi, 1, 0, prec) + _dg(g_im, vr, 1, 0, prec)
+    gr_re = _dg(vr, p_re, 0, 0, prec) + _dg(vi, p_im, 0, 0, prec)
+    gr_im = _dg(vr, p_im, 0, 0, prec) - _dg(vi, p_re, 0, 0, prec)
 
     lam_row = jnp.sum(gr_re * eye, axis=0, keepdims=True)
     lam_col = jnp.sum(gr_re * eye, axis=1, keepdims=True)
@@ -101,15 +149,15 @@ def _perturb_ladder(g_re, g_im, vr, vi, ladder,
     c_re = c_re * capped
     c_im = c_im * capped
 
-    nvr = vr + (_dg(vr, c_re, 1, 0) - _dg(vi, c_im, 1, 0))
-    nvi = vi + (_dg(vr, c_im, 1, 0) + _dg(vi, c_re, 1, 0))
+    nvr = vr + (_dg(vr, c_re, 1, 0, prec) - _dg(vi, c_im, 1, 0, prec))
+    nvi = vi + (_dg(vr, c_im, 1, 0, prec) + _dg(vi, c_re, 1, 0, prec))
     for _ in range(ns_steps):
-        vtv_re = _dg(nvr, nvr, 0, 0) + _dg(nvi, nvi, 0, 0)
-        vtv_im = _dg(nvr, nvi, 0, 0) - _dg(nvi, nvr, 0, 0)
+        vtv_re = _dg(nvr, nvr, 0, 0, prec) + _dg(nvi, nvi, 0, 0, prec)
+        vtv_im = _dg(nvr, nvi, 0, 0, prec) - _dg(nvi, nvr, 0, 0, prec)
         q_re = 1.5 * eye - 0.5 * vtv_re
         q_im = -0.5 * vtv_im
-        tr = _dg(nvr, q_re, 1, 0) - _dg(nvi, q_im, 1, 0)
-        ti = _dg(nvr, q_im, 1, 0) + _dg(nvi, q_re, 1, 0)
+        tr = _dg(nvr, q_re, 1, 0, prec) - _dg(nvi, q_im, 1, 0, prec)
+        ti = _dg(nvr, q_im, 1, 0, prec) + _dg(nvi, q_re, 1, 0, prec)
         nvr, nvi = tr, ti
 
     w_row = jnp.maximum(lam_row, 0.0)
@@ -145,7 +193,8 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
                   mu0_ref,
                   oxr_ref, oxi_ref, oyr_ref, oyi_ref, stat_ref, *,
                   nt: int, nr: int, ladder, scale_by_row: bool,
-                  rho: float, tol_rel: float, tol_abs: float, maxiter: int):
+                  rho: float, tol_rel: float, tol_abs: float, maxiter: int,
+                  precision: str = "default"):
     ar, ai = ar_ref[:], ai_ref[:]                    # (m, n)
     b2 = b_ref[:]                                    # (1, m)
     ur, ui = ur_ref[:], ui_ref[:]                    # (n, n)
@@ -153,11 +202,40 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
     r = y0r_ref.shape[0]
     inv_r_sqrt = 1.0 / math.sqrt(r)
 
-    def ah_mul(xr, xi):                              # X @ conj(A): (r,m)->(r,n)
-        return _pm(xr, xi, ar, -ai)
+    # precision mode (VERDICT r04 #6):
+    #   default — single-pass bf16 MXU everywhere (fastest, -46 dB floor)
+    #   highest — Mosaic's native 6-pass f32 emulation on every dot
+    #   split3  — 3-pass compensated matmuls against pre-split constants
+    #             for the big A/U dots (HALF the XLA f32 path's passes),
+    #             native 6-pass on the tiny eigenbasis dots
+    if precision == "default":
+        prec_small = None
+    else:
+        prec_small = jax.lax.Precision.HIGHEST
+    if precision == "split3":
+        neg = lambda s: (-s[0], -s[1])                       # noqa: E731
+        ar_s, ai_s = _split(ar), _split(ai)
+        bs_amul = (ar_s, ai_s, _split(ar + ai))              # X @ A^T
+        bs_ahmul = (ar_s, neg(ai_s), _split(ar - ai))        # X @ conj(A)
+        bs_u = (_split(ur), neg(_split(ui)), _split(ur - ui))  # rhs @ conj(U)
 
-    def a_mul(xr, xi):                               # X @ A^T: (r,n)->(r,m)
-        return _pm_bt(xr, xi, ar, ai)
+        def ah_mul(xr, xi):                          # (r,m)->(r,n)
+            return _pm3(xr, xi, bs_ahmul, 0)
+
+        def a_mul(xr, xi):                           # (r,n)->(r,m)
+            return _pm3(xr, xi, bs_amul, 1)
+
+        def u_mul(xr, xi):                           # (r,n)->(r,n)
+            return _pm3(xr, xi, bs_u, 0)
+    else:
+        def ah_mul(xr, xi):                          # X @ conj(A)
+            return _pm(xr, xi, ar, -ai, prec_small)
+
+        def a_mul(xr, xi):                           # X @ A^T
+            return _pm_bt(xr, xi, ar, ai, prec_small)
+
+        def u_mul(xr, xi):
+            return _pm(xr, xi, ur, -ui, prec_small)
 
     def zprox(zr, zi, vr, vi):
         """Spectral-profile prox on (r, nt*nr) state via nr-wide lane
@@ -167,19 +245,24 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
         for t in range(nt):
             sr = zr[:, t * nr:(t + 1) * nr]
             si = zi[:, t * nr:(t + 1) * nr]
-            g_re = g_re + _dg(sr, sr, 0, 0) + _dg(si, si, 0, 0)
-            g_im = g_im + _dg(sr, si, 0, 0) - _dg(si, sr, 0, 0)
-        coeff, nvr, nvi = _perturb_ladder(g_re, g_im, vr, vi, ladder)
+            g_re = g_re + _dg(sr, sr, 0, 0, prec_small) \
+                + _dg(si, si, 0, 0, prec_small)
+            g_im = g_im + _dg(sr, si, 0, 0, prec_small) \
+                - _dg(si, sr, 0, 0, prec_small)
+        coeff, nvr, nvi = _perturb_ladder(g_re, g_im, vr, vi, ladder,
+                                          prec=prec_small)
         # delta = (V * coeff) V^H
         vc_re = nvr * coeff
         vc_im = nvi * coeff
-        d_re = _dg(vc_re, nvr, 1, 1) + _dg(vc_im, nvi, 1, 1)
-        d_im = _dg(vc_im, nvr, 1, 1) - _dg(vc_re, nvi, 1, 1)
+        d_re = _dg(vc_re, nvr, 1, 1, prec_small) \
+            + _dg(vc_im, nvi, 1, 1, prec_small)
+        d_im = _dg(vc_im, nvr, 1, 1, prec_small) \
+            - _dg(vc_re, nvi, 1, 1, prec_small)
         outs_r, outs_i = [], []
         for t in range(nt):
             sr = zr[:, t * nr:(t + 1) * nr]
             si = zi[:, t * nr:(t + 1) * nr]
-            pr, pi = _pm(sr, si, d_re, d_im)
+            pr, pi = _pm(sr, si, d_re, d_im, prec_small)
             outs_r.append(sr + pr)
             outs_i.append(si + pi)
         return (jnp.concatenate(outs_r, axis=1),
@@ -218,7 +301,7 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
         r1r, r1i = ah_mul(tr_, ti_)
         rhs_r = r1r + (zr - ndr * inv_mu)
         rhs_i = r1i + (zi - ndi * inv_mu)
-        xr, xi = _pm(rhs_r, rhs_i, ur, -ui)          # rhs @ conj(U)
+        xr, xi = u_mul(rhs_r, rhs_i)                 # rhs @ conj(U)
         axr, axi = a_mul(xr, xi)
 
         # Y-update (ref :511-533)
@@ -344,12 +427,13 @@ def _solve_kernel(ar_ref, ai_ref, b_ref, ur_ref, ui_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "nt", "nr", "ladder", "scale_by_row", "rho", "tol_rel", "tol_abs",
-    "maxiter", "interpret"))
+    "maxiter", "interpret", "precision"))
 def fused_infer_admm(a: Pair, b, u_mat: Pair, y0: Pair, z0: Pair, v0: Pair,
                      mu0, *, nt: int, nr: int, ladder,
                      scale_by_row: bool, rho: float, tol_rel: float,
                      tol_abs: float, maxiter: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     precision: str = "default"):
     """Run the full InferADMM loop in one Pallas kernel.
 
     ``a``: (m, n); ``b``: (m,); ``u_mat``: (n, n) = inv(A^H A + I);
@@ -366,7 +450,7 @@ def fused_infer_admm(a: Pair, b, u_mat: Pair, y0: Pair, z0: Pair, v0: Pair,
     kern = functools.partial(
         _solve_kernel, nt=nt, nr=nr, ladder=tuple(ladder),
         scale_by_row=scale_by_row, rho=rho, tol_rel=tol_rel,
-        tol_abs=tol_abs, maxiter=maxiter)
+        tol_abs=tol_abs, maxiter=maxiter, precision=precision)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     rx = r if scale_by_row else 1
     out_shape = [jax.ShapeDtypeStruct((rx, n), jnp.float32),
@@ -375,12 +459,12 @@ def fused_infer_admm(a: Pair, b, u_mat: Pair, y0: Pair, z0: Pair, v0: Pair,
                  jax.ShapeDtypeStruct((rx, m), jnp.float32),
                  jax.ShapeDtypeStruct((1, 2), jnp.float32)]
     mu_arr = jnp.asarray(mu0, jnp.float32).reshape(1, 1)
-    # Pin DEFAULT matmul precision for the kernel body: its VMEM budget is
-    # sized for single-pass MXU matmuls, and a global
-    # jax.default_matmul_precision("float32"/"highest") would trace the
-    # in-kernel dots as multi-pass emulation and overflow scoped VMEM
-    # (measured: 18.84M > 16M limit at r=20, m~1k).  Callers wanting the
-    # float32 accuracy floor should use the XLA path (TWOACE_MEGAKERNEL=0).
+    # Pin DEFAULT matmul precision at the trace level and let the
+    # ``precision`` mode set per-dot precision EXPLICITLY inside the
+    # kernel: a global jax.default_matmul_precision("float32"/"highest")
+    # leaking into every in-kernel dot overflows scoped VMEM (measured
+    # r04: 18.84M > 16M at r=20, m~1k), whereas the split3 mode's
+    # pre-split constants budget ~4 MB extra and compile fine.
     with jax.default_matmul_precision("default"):
         oxr, oxi, oyr, oyi, stat = pl.pallas_call(
             kern,

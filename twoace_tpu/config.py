@@ -180,6 +180,15 @@ class AdmmConfig:
     #: production default.  "highest" = Mosaic's native multi-pass f32
     #: emulation (fails to compile at m~1k on the current toolchain).
     kernel_precision: str = "default"
+    #: Iteration cap for the FIRST (over-parameterized, scale_by_row) pass
+    #: of each inferLowRankImpl solve.  The reference runs both passes to
+    #: full tolerance (inferLowRankV4_multi.m:241,265) but the second pass
+    #: re-converges from the orthonormalized first-pass state anyway, so
+    #: most of pass 1's tail iterations are re-done work.  None = full
+    #: cfg.maxiter (reference semantics, the default); an int (e.g. 90 ~
+    #: p50/2 of the bench trip distribution) trades pass-1 tail iterations
+    #: for batch throughput — measured A/B in BENCH_sweep_r05.json.
+    stage1_maxiter: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

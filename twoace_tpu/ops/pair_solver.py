@@ -646,7 +646,12 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter, eig_mode=eig_mode,
               use_pallas=use_pallas, warm_iters=cfg.warm_iters,
               kernel_precision=cfg.kernel_precision)
-    x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw)
+    # pass-1 cap (cfg.stage1_maxiter): pass 2 re-converges from the
+    # orthonormalized state, so pass-1 tail iterations are mostly re-done
+    # work — see the config docstring and the BENCH_sweep_r05 A/B
+    kw1 = dict(kw, maxiter=min(cfg.stage1_maxiter, cfg.maxiter)) \
+        if cfg.stage1_maxiter is not None else kw
+    x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw1)
     x = _orthonormalize_cols_t(x)
     x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
     # per-solve trip counts, stacked: callers that only need the total sum

@@ -60,8 +60,19 @@ def build_workload(n_windows=40, jump_at=20):
         h = np.outer(steer(cfg.nr, a_rx), steer(cfg.nt, a_tx).conj())
         return h.T.reshape(-1)          # tx-major vec, a @ vec = w^T H f
 
-    # fixed 2-bit codebooks (the flashed-.brd model); windows rotate a
-    # sliding set of Rx sectors through rx_cb deterministically
+    # fixed 2-bit codebooks (the flashed-.brd model).  TWO probe streams
+    # from the same kron cross product, differing only in row selection:
+    #   sector stream — windows rotate a sliding 8-sector set through
+    #     rx_cb (consecutive windows share 7/8 sectors: the cold
+    #     tracker's one-window-behind RSS prediction stays good, so the
+    #     reset branch exercises);
+    #   fresh-pair stream — every probe draws an independent (w, f)
+    #     sector pair (the reference's random row draw from
+    #     kron(rx_cb, tx_cb)): 256 fresh pairs put a rank-1 16x16
+    #     channel ~4x above the magnitude-only identifiability bound
+    #     (measured one-shot: -23.5 dB vs -4.9 dB for 256 probes
+    #     sharing 32 sectors — the kron factorization hands the Rx
+    #     factor only ONE magnitude per distinct sector).
     rx_cb = np.exp(1j * rng.integers(0, 4, (RX_CB_SIZE, cfg.nr))
                    * (np.pi / 2)) / np.sqrt(cfg.nr)
     rows = []
@@ -74,10 +85,19 @@ def build_workload(n_windows=40, jump_at=20):
                     / np.sqrt(cfg.nt)
                 rows.append(np.kron(f, w))
     rows = np.stack(rows).astype(np.complex64)
+    rows_fresh = []
+    for _ in range(n_windows * p):
+        w = np.exp(1j * rng.integers(0, 4, cfg.nr) * (np.pi / 2)) \
+            / np.sqrt(cfg.nr)
+        f = np.exp(1j * rng.integers(0, 4, cfg.nt) * (np.pi / 2)) \
+            / np.sqrt(cfg.nt)
+        rows_fresh.append(np.kron(f, w))
+    rows_fresh = np.stack(rows_fresh).astype(np.complex64)
 
     g = 1.5 * np.exp(1j * 0.3)
     a_rx, a_tx = 0.4, -0.7
     amps = np.zeros(n_windows * p, np.float32)
+    amps_fresh = np.zeros(n_windows * p, np.float32)
     vhs, ats = [], []
     for t in range(n_windows):
         drx = 0.1 * t * np.pi / 180 + (25 * np.pi / 180 if t >= jump_at else 0)
@@ -86,7 +106,10 @@ def build_workload(n_windows=40, jump_at=20):
         vhs.append(vh)
         ats.append(steer(cfg.nt, a_tx + dtx))
         amps[t * p:(t + 1) * p] = np.abs(rows[t * p:(t + 1) * p] @ vh)
-    return cfg, rows, amps, np.stack(vhs), np.stack(ats), p
+        amps_fresh[t * p:(t + 1) * p] = np.abs(
+            rows_fresh[t * p:(t + 1) * p] @ vh)
+    return (cfg, rows, amps, rows_fresh, amps_fresh, np.stack(vhs),
+            np.stack(ats), p)
 
 
 def run_tracker(name, solver, cfg, rows, amps, vhs, ats, p, mob):
@@ -144,28 +167,32 @@ def main():
                                               make_pair_solver,
                                               make_warm_pair_solver)
 
-    cfg, rows, amps, vhs, ats, p = build_workload()
+    (cfg, rows, amps, rows_fresh, amps_fresh, vhs, ats,
+     p) = build_workload()
     admm = AdmmConfig(maxiter=500)
     mob = MobilityConfig(window_probes=p, max_window=80, admm=admm)
 
+    # sector stream: reset-branch semantics (consecutive windows share
+    # 7/8 Rx sectors, so cold's one-window-behind prediction is good)
     cold = run_tracker("cold_resolve_ref_semantics",
                        make_pair_solver(cfg, admm), cfg, rows, amps, vhs,
                        ats, p, mob)
     warm = run_tracker("warm_anchored_rank1",
                        make_warm_pair_solver(cfg, admm, use_rank_one=True),
                        cfg, rows, amps, vhs, ats, p, mob)
-    # H-identifiability horizon: a rank-1 16x16 channel has 2(nt+nr)-2 ~
-    # 62 free real params; magnitude-only recovery needs ~2x that in
-    # probes, so the reference's 80-probe sliding window sits BELOW the
-    # identifiability threshold at this array size no matter the solver.
-    # A 256-probe window (4 windows' kron probes, 32 distinct Rx sectors)
-    # sits comfortably above it — this tracker demonstrates the H-level
-    # NMSE decline the 80-probe loop cannot deliver.
+    # fresh-pair stream + extended horizon: H-level identifiability.
+    # A rank-1 16x16 channel has ~62 free real params; the reference's
+    # 80-probe window is below the ~2x magnitude-only bound no matter the
+    # solver.  256 fresh kron pairs are ~4x above it (one-shot -23.5 dB).
     mob_ext = MobilityConfig(window_probes=p, max_window=256, admm=admm)
     warm_ext = run_tracker(
-        "warm_anchored_rank1_window256",
+        "warm_anchored_rank1_freshpairs_window256",
         make_warm_pair_solver(cfg, admm, use_rank_one=True),
-        cfg, rows, amps, vhs, ats, p, mob_ext)
+        cfg, rows_fresh, amps_fresh, vhs, ats, p, mob_ext)
+    cold_ext = run_tracker(
+        "cold_freshpairs_window256",
+        make_pair_solver(cfg, admm),
+        cfg, rows_fresh, amps_fresh, vhs, ats, p, mob_ext)
 
     out = {
         "workload": {
@@ -180,17 +207,20 @@ def main():
                        "at window 20",
         },
         "backend": jax.default_backend(),
-        "trackers": [cold, warm, warm_ext],
-        "note": "r04's one-Rx-sector-per-window stream starved the Rx "
-                "factor (1 scalar magnitude per window).  With the "
-                "reference-style multi-Rx kron stream the cold tracker's "
-                "reset branch fires; the H-level NMSE decline needs the "
-                "EXTENDED 256-probe horizon (warm_anchored_rank1_"
-                "window256): the reference's 80-probe sliding window is "
-                "below the ~2x-dof magnitude-only identifiability "
-                "threshold for a rank-1 16x16 channel (62 free params), "
-                "so no solver can pin H from it — an information bound, "
-                "not a solver gap.",
+        "trackers": [cold, warm, warm_ext, cold_ext],
+        "note": "Two row selections from the same kron cross product "
+                "(ref RSS_Mobility.m codebook): the SECTOR stream "
+                "exercises the reset branch (cold prediction stays good "
+                "across 7/8-shared-sector windows); the FRESH-PAIR "
+                "stream with a 256-probe horizon crosses the H "
+                "identifiability bound (rank-1 16x16 = ~62 free params; "
+                "80 magnitudes < 2x bound — no solver can pin H from "
+                "the reference's 80-probe window; 256 fresh pairs = ~4x) "
+                "and is where tracked H-NMSE must go DEEP.  Key "
+                "measured contrast: 256 probes sharing 32 sectors give "
+                "-4.9 dB one-shot vs -23.5 dB for 256 fresh pairs — the "
+                "kron factorization hands the Rx factor only one "
+                "magnitude per distinct sector.",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MOBILITY_r05.json")

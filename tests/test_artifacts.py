@@ -196,6 +196,39 @@ def test_bench_sweep_r04_warm_phase_bounds():
     assert pts[(256, 80)]["recoveries_per_s"] > 90.0
 
 
+def test_mobility_r05_h_level_tracking():
+    """MOBILITY_r05.json (VERDICT r04 #4): H-level tracking demonstrated.
+
+    On the fresh-pair stream with the 256-probe horizon (above the
+    magnitude-only identifiability bound for a rank-1 16x16 channel) the
+    reference-semantics cold tracker's H-NMSE DECLINES as the window
+    fills (deep within 4 windows), sustains a deep band, collapses at the
+    window-20 channel jump and RE-CONVERGES within a few windows — and
+    its reset branch fires.  The sector stream separately pins the reset
+    branch under the 80-probe reference horizon.  Measured r05 context:
+    the anchored warm tracker is a starved-regime tool — on identifiable
+    windows its anchor drags toward stale estimates (slow decline), so
+    the deep-tracking row is the cold re-solve, matching the reference's
+    own per-window semantics (RSS_Mobility.m:155-188)."""
+    d = _load("MOBILITY_r05.json")
+    tr = {t["tracker"]: t for t in d["trackers"]}
+    deep = tr["cold_freshpairs_window256"]
+    nm = deep["tracked_nmse_db"]
+    assert deep["reset_branch_fired"]
+    # decline while the window fills (windows 0 -> 3)
+    assert nm[0] > -2.0 and nm[3] <= -8.0, nm[:4]
+    # sustained deep band before the jump
+    assert np.median(nm[4:20]) <= -10.0, nm[4:20]
+    # jump knocks it out, then re-convergence within a few windows
+    assert nm[20] > -2.0, nm[20]
+    assert min(nm[21:26]) <= -10.0, nm[21:26]
+    # last-quarter band stays deep
+    assert deep["nmse_last_quarter_db"] <= -10.0
+    # sector stream: the reference-horizon cold tracker fires the reset
+    # branch (the r04 gap)
+    assert tr["cold_resolve_ref_semantics"]["reset_branch_fired"]
+
+
 def test_mobility_r04_both_branches_fire():
     """MOBILITY_r04.json (VERDICT r03 #4): the adaptive loop's success
     branch must fire on chip.  The warm anchored rank-1 tracker resets the

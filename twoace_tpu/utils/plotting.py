@@ -47,6 +47,37 @@ def plot_error_vs_grid(grid, curves: Dict[str, np.ndarray],
     return path
 
 
+def plot_measurements_vs_range(ranges_deg, m_needed: Dict[str, np.ndarray],
+                               maee_targets, path: str,
+                               methods=("plgamp", "perfect_phase_cs",
+                                        "admm_lowrank_v4")):
+    """The VS_SR figure: measurements needed vs search range, one panel
+    per method, one curve per MAEE target (ref: VS_SR_par.m:125-152 —
+    including its reversed x axis)."""
+    plt = _plt()
+    methods = [m for m in methods if m in m_needed]
+    fig, axes = plt.subplots(len(methods), 1,
+                             figsize=(6, 2.6 * len(methods)), sharex=True)
+    if len(methods) == 1:
+        axes = [axes]
+    markers = ["*-", "s-", "o-"]
+    for ax, name in zip(axes, methods):
+        sel = np.asarray(m_needed[name])            # (R, T)
+        for t_i, tgt in enumerate(maee_targets):
+            ax.plot(ranges_deg, sel[:, t_i], markers[t_i % len(markers)],
+                    label=f"MAEE $\\approx$ {tgt}$^\\circ$")
+        ax.set_ylabel("measurements $M^2$")
+        ax.set_title(name, fontsize=9)
+        ax.grid(True, alpha=0.3)
+        ax.invert_xaxis()                            # ref: XDir reverse
+        ax.legend(fontsize=7)
+    axes[-1].set_xlabel("searching range $\\Delta\\theta$ (deg)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
 def plot_nmse_cdf(nmse_by_method: Dict[str, np.ndarray], path: str):
     """CDF of per-instance channel NMSE (ref: CDF_H.m)."""
     plt = _plt()

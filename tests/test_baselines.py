@@ -220,6 +220,32 @@ def test_admm_v2_version_dispatch(key):
         assert np.isfinite(np.asarray(res.x)).all(), version
 
 
+def test_admm_v2_escalation_fallback(key):
+    """Out-of-range versions hit the escalation retry loop
+    (ADMM_v2.m:33-44): V2 solver with the RZ-into-lambda / R-into-width
+    quirk call, breaking on nonzero quality (MATLAB float truthiness —
+    see dispatch._admm_v2_escalation).  A well-posed rank-1 problem must
+    recover on the first attempt."""
+    rng = np.random.default_rng(12)
+    nt = nr = 4
+    n = nt * nr
+    m = 3 * n
+    h = _rand_c(rng, nr, 1) @ _rand_c(rng, 1, nt)
+    x = h.T.reshape(-1)
+    a = jnp.asarray(np.exp(1j * rng.integers(0, 4, (m, n)) * np.pi / 2)
+                    / np.sqrt(n))
+    b = jnp.abs(a @ jnp.asarray(x))
+    res = admm_v2(key, b, a, nt, nr, version=5)
+    assert res.x.shape == (n,)
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert float(res.quality) != 0.0      # the loop's break condition
+    # the lam=5 ridge shrinks the fit but the support/direction must hold
+    xe = np.asarray(res.x)
+    c = np.vdot(xe, x) / max(np.vdot(xe, xe).real, 1e-30)
+    nmse = np.linalg.norm(x - c * xe) ** 2 / np.linalg.norm(x) ** 2
+    assert nmse < 0.5, nmse
+
+
 def test_recover_channel_multi_method(key):
     rng = np.random.default_rng(11)
     cfg = ArrayConfig(nt=4, nr=4)

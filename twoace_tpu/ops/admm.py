@@ -266,7 +266,12 @@ def _impl(a, b, xs, nt, nr, use_rank_one: bool, cfg: AdmmConfig,
     lm = m if ladder_m is None else ladder_m
     prox = _make_prox(prox_kind, nt, nr, lm, n, use_rank_one, cfg,
                       eig_backend)
-    u_mat = _precompute_u(a)
+    # ridge weight lambda folded statically into U (exact at mu = 1; the
+    # reference's X-update uses inv(A'A + (1 + lambda/mu) I),
+    # inferLowRankV2.m:146 — every reference call site passes lambda = 0
+    # except the version>4 escalation quirk, see dispatch.admm_v2, so the
+    # mu-dependent re-inversion is not worth the hot-loop cost)
+    u_mat = _precompute_u(a, reg=1.0 + cfg.lam)
     kw = dict(mu0=cfg.mu0, rho=cfg.rho, tol_rel=cfg.tol_rel,
               tol_abs=cfg.tol_abs, maxiter=cfg.maxiter)
     x, y, _ = infer_admm(a, b, xs, scale_by_row=True, prox=prox,

@@ -56,6 +56,8 @@ def admm_v2(key, measurements, beams, nt: int, nr: int, version: int = 4,
     """
     b = jnp.real(jnp.asarray(measurements)).reshape(-1)
     a = jnp.asarray(beams)
+    if version > 4 or version < 0:
+        return _admm_v2_escalation(key, a, b, nt, nr, cfg, impl)
     if impl == "pair" and version != 0:
         from .cplx import Pair
         from .pair_solver import solve_lowrank_multi_pair
@@ -93,6 +95,55 @@ def admm_v2(key, measurements, beams, nt: int, nr: int, version: int = 4,
                                        prox_kind="nuclear", n_restarts=1)
         return solve_lowrank_multi(key, a, b, nt, nr, cfg)
     raise ValueError(f"unknown ADMM version {version}")
+
+
+def _admm_v2_escalation(key, a, b, nt: int, nr: int, cfg: AdmmConfig,
+                        impl: str) -> AdmmResult:
+    """The dispatcher's out-of-range escalation fallback (ADMM_v2.m:33-44):
+    up to 3 retries of the V2 solver with growing parameters.
+
+    Two quirks replicated faithfully from the reference:
+      * the 6-positional call ``inferLowRankV2(A, B, TX, RX, RZ, R)``
+        lands RZ in the LAMBDA slot and R in the width slot
+        (inferLowRankV2.m:1), so the escalation actually grows the ridge
+        weight (5, 7, 9) and the over-parameterization width
+        (TX, TX + TX/2, ...), not a Z rank;
+      * the loop breaks on ``if converged`` where "converged" is V2's
+        third output — its QUALITY float (inferLowRankV2.m:1,42) — and
+        MATLAB truthiness makes any nonzero quality "converged", so
+        retries 2-3 are reachable only when quality == 0 exactly.
+
+    Deviation (documented): the pair implementation's U precompute has no
+    ridge hook, so ``impl="pair"`` escalates width only (lambda is a
+    no-op there); the complex path folds lambda statically into U (see
+    ops.admm._impl).
+    """
+    r_cur, lam_cur = nt, 5.0
+    res = None
+    for _ in range(3):
+        cfg_i = dataclasses.replace(
+            cfg, rank=r_cur, lam=lam_cur,
+            profile=dataclasses.replace(cfg.profile, ladder="v2"))
+        if impl == "pair":
+            from .cplx import Pair
+            from .pair_solver import solve_lowrank_multi_pair
+            import numpy as np
+
+            ap = Pair(jnp.real(a).astype(jnp.float32),
+                      jnp.imag(a).astype(jnp.float32))
+            rp = solve_lowrank_multi_pair(key, ap, b.astype(jnp.float32),
+                                          nt, nr, cfg_i, n_restarts=1)
+            x = np.asarray(rp.x.re) + 1j * np.asarray(rp.x.im)
+            res = AdmmResult(x=x, y=np.asarray(a) @ x, quality=rp.quality,
+                             converged=rp.converged)
+        else:
+            res = solve_lowrank_multi(key, a, b, nt, nr, cfg_i,
+                                      n_restarts=1)
+        if float(res.quality) != 0.0:
+            break
+        r_cur += nt // 2
+        lam_cur += 2.0
+    return res
 
 
 def recover_channel(key, measurements, beams, flags: MethodFlags,

@@ -96,6 +96,14 @@ MAXITER = 500       # reference iteration budget (inferLowRankV4_multi.m:13)
 # 80 is the knee: +9.5% throughput, accuracy still ~60 dB beyond any
 # downstream need.  Off (0) via env for pure-f32 A/B runs.
 WARM_ITERS = int(os.environ.get("TWOACE_BENCH_WARM_ITERS", 80))
+# Pass-1 iteration cap (config.AdmmConfig.stage1_maxiter): pass 2
+# re-converges from the orthonormalized pass-1 state, so capping pass 1
+# at 120 trades its tail for +11% batch throughput at identical median
+# NMSE/quality (BENCH_stage1cap_r05.json: 111.5 vs 100.1 rec/s at batch
+# 256, -94.6 dB, min quality 1.0).  Like warm_iters this is a bench
+# knob, not the library default (the cap landscape is jagged away from
+# 120 — quality-gate/retry interactions).  0 disables.
+STAGE1_MAXITER = int(os.environ.get("TWOACE_BENCH_STAGE1_MAXITER", 120))
 
 
 def build_problem(seed: int = 0):
@@ -222,7 +230,8 @@ def bench_full_solve():
     from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
 
     ap, b, x_true = build_solve_problem()
-    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS)
+    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS,
+                     stage1_maxiter=STAGE1_MAXITER or None)
     key = jax.random.PRNGKey(0)
 
     t_c = time.perf_counter()
@@ -324,6 +333,7 @@ def main():
         "maxiter": MAXITER,
         "matmul_precision": AdmmConfig().matmul_precision,
         "warm_iters": WARM_ITERS,
+        "stage1_maxiter": STAGE1_MAXITER,
         # first solve_lowrank_multi_pair_batch call incl. trace+compile of
         # the three staged jits (near-zero when .jax_cache is warm)
         "first_call_s": round(first_call_s, 1),

@@ -46,7 +46,9 @@ def main():
     a, b_batch, _ = bench.build_solve_problem()
     nt = nr = 16
     m, n = a.shape
-    cfg = AdmmConfig(maxiter=bench.MAXITER)
+    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    cfg = AdmmConfig(maxiter=bench.MAXITER,
+                     stage1_maxiter=cap or None)
     pl = cfg.profile
 
     key = jax.random.PRNGKey(0)
@@ -87,6 +89,7 @@ def main():
     out = {
         "workload": {"batch": batch, "m": m, "n": n,
                      "maxiter": cfg.maxiter, "restarts": n_restarts,
+                     "stage1_maxiter": cfg.stage1_maxiter,
                      "matmul_precision": cfg.matmul_precision},
         "backend": jax.default_backend(),
         "solve1_scale_by_row": acct(it[..., 0]),
@@ -106,7 +109,7 @@ def main():
                 "spent on already-converged lanes.",
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_lockstep_r04.json")
+        os.path.abspath(__file__))), "BENCH_lockstep_r05.json" if cap else "BENCH_lockstep_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

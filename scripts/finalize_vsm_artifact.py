@@ -61,6 +61,10 @@ def main() -> None:
             "snr_db": 20, "trials": n_trials, "maxiter": 500, "restarts": 3,
             "beam": "Random_Phase_State", "seed": 1,
             "m_grid_ref": "A2only.m:110-111",
+            "gate": "curves generated under the SHIPPED noise-aware "
+                    "collapse-only GAMP->OMP gate (ops/twostage.py, "
+                    "ops/cpr_baselines.py; r05 closes the r04 "
+                    "gate_provenance caveat)",
         },
         "m_grid": m_grid,
         "nmse_db": nmse_db,

@@ -1,3 +1,14 @@
+"""Pallas TPU kernels — BENCH-ONLY for the production float32 path.
+
+Status (measured, round 5): the kernels win the batch-1 latency path only
+in "default"-precision mode (−46 dB floor); the f32-capable megakernel
+modes (``kernel_precision="split3"``/"highest", solver_kernel.py) are
+convergence-class but LOSE to the XLA float32 route on device time
+(48.4 vs 34.5 ms, BENCH_kernelprec_r05.json), and the per-op kernels
+lose to XLA's batched small-matmul form at batch.  Production solvers
+therefore default to the XLA path; everything here stays maintained for
+benchmarking, ablation, and the default-precision latency mode.
+"""
 import os
 
 import jax

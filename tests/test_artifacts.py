@@ -218,6 +218,32 @@ def test_bench_sweep_r04_warm_phase_bounds():
     assert pts[(256, 80)]["recoveries_per_s"] > 90.0
 
 
+def test_vssr_r05_reference_semantics_and_finite_rows():
+    """VSSR_r05.json (VERDICT r04 #2: replaces the all-NaN NMSE-target
+    artifact).  The campaign runs the reference's own semantics — the
+    per-range (M, G) grid table (VS_SR_par.m:76-99), closest-match MAEE
+    targets {0.6, 0.8, 1.0} deg (argmin |MAEE - target|,
+    VS_SR_par.m:118-119), totals reported as M^2 — and EVERY method row
+    is finite at every (range, target) cell, including the A2 extension
+    row (H-domain angles via the dictionary projection).  Selected
+    budgets must come from the range's own grid."""
+    d = _load("VSSR_r05.json")
+    assert d["ranges_deg"] == [20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    assert d["maee_targets_deg"] == [0.6, 0.8, 1.0]
+    from twoace_tpu.pipeline import VS_SR_GRIDS
+    for r_i, sr in enumerate(d["ranges_deg"]):
+        ms, gs = VS_SR_GRIDS[int(sr)]
+        assert d["m_grids"][r_i] == list(ms)
+        assert d["g_grids"][r_i] == list(gs)
+    for name in ("plgamp", "perfect_phase_cs", "admm_lowrank_v4", "plomp"):
+        rows = d["m_needed"][name]
+        for r_i, row in enumerate(rows):
+            allowed = {m * m for m in d["m_grids"][r_i]}
+            for cell in row:
+                assert cell is not None, (name, r_i)
+                assert cell in allowed, (name, r_i, cell, allowed)
+
+
 def test_vssnr_r05_explained_boundary():
     """VSSNR_r05.json (VERDICT r04 #3): the A2-vs-PLOMP SNR boundary,
     regenerated under the shipped gate WITH per-trial std columns, pinned

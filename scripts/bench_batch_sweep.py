@@ -64,12 +64,19 @@ def main():
     # default matches the committed BENCH_sweep artifact, the pinned
     # test (test_artifacts.py: pts[(batch, 80)]), and bench.py WARM_ITERS
     warm = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r04"
     key = jax.random.PRNGKey(0)
     points = []
     for batch in (16, 64, 256):
         ap, b, x_true = build(batch)
-        for w in (0, warm):
-            cfg = AdmmConfig(maxiter=MAXITER, warm_iters=w)
+        # (warm, stage1 cap) configs: cold f32, warm phase, and (r05)
+        # warm + the 120-iteration pass-1 cap (BENCH_stage1cap_r05.json)
+        variants = [(0, None), (warm, None)]
+        if tag != "r04":
+            variants.append((warm, 120))
+        for w, cap in variants:
+            cfg = AdmmConfig(maxiter=MAXITER, warm_iters=w,
+                             stage1_maxiter=cap)
             t_c = time.perf_counter()
             res = solve_lowrank_multi_pair_batch(key, ap, b, NT, NR, cfg)
             iters = int(np.sum(np.asarray(res.iters)))
@@ -92,6 +99,7 @@ def main():
             points.append({
                 "solve_batch": batch,
                 "warm_iters": w,
+                "stage1_maxiter": cap,
                 "iters_per_s": round(iters / dt, 1),
                 "recoveries_per_s": round(batch / dt, 2),
                 "selected_iters": iters,
@@ -120,7 +128,7 @@ def main():
                  "cost, attacked here with the warm phase."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_sweep_r04.json")
+        os.path.abspath(__file__))), f"BENCH_sweep_{tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

@@ -168,6 +168,7 @@ def collective_accounting(maxiter=150):
     mapped to v5e ICI numbers, at BOTH production shapes."""
     return {
         "16x16": _collective_accounting_shape(16, 512, maxiter),
+        "16x16_batch_axis": _batch_axis_collectives(16, 512, maxiter),
         "32x32": _collective_accounting_shape(32, 4096, 40),
         "conclusion": "row-sharding efficiency is set by all-reduce "
                       "LATENCY vs per-iteration compute: at 16x16 the "
@@ -179,6 +180,37 @@ def collective_accounting(maxiter=150):
                       "target (the regime SCALING_r03/r04 reserved it "
                       "for, now grounded in compiled-graph bytes).",
     }
+
+
+def _batch_axis_collectives(nt, m, maxiter):
+    """Count collectives in the BATCH-sharded production graph: the
+    claim 'batch-axis sharding is collective-free (efficiency ~1 on real
+    chips)' grounded in the compiled HLO rather than asserted."""
+    from twoace_tpu.config import AdmmConfig
+    from twoace_tpu.ops.cplx import Pair
+    from twoace_tpu.parallel.mesh import make_mesh, problem_sharding
+    from twoace_tpu.parallel.sharded_pair import (
+        solve_lowrank_multi_sharded_pair)
+
+    cfg = AdmmConfig(maxiter=maxiter, n_restarts=2)
+    ap, b, _ = build(nt, m, 2, seed=8)
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    mesh = make_mesh(batch=2, rows=1, devices=jax.devices()[:2])
+    a_sh, b_sh = problem_sharding(mesh)
+    a_put = Pair(jax.device_put(ap.re, a_sh), jax.device_put(ap.im, a_sh))
+    b_put = jax.device_put(b, b_sh)
+    hlo = solve_lowrank_multi_sharded_pair.lower(
+        mesh, jax.device_put(keys), a_put, b_put, nt, nt,
+        cfg).compile().as_text()
+    n_ar = len(re.findall(r" all-reduce", hlo))
+    n_other = len(re.findall(r" all-gather| reduce-scatter| all-to-all",
+                             hlo))
+    return {"mesh": "2 batch x 1 rows", "all_reduce_count": n_ar,
+            "other_collective_count": n_other,
+            "note": "rows=1 makes every psum a single-participant "
+                    "group; XLA elides cross-chip traffic, so the batch "
+                    "axis scales at ~1.0 efficiency on real chips "
+                    "(bounded only by instance load imbalance)"}
 
 
 def _collective_accounting_shape(nt, m, maxiter, rows=2):

@@ -104,6 +104,15 @@ WARM_ITERS = int(os.environ.get("TWOACE_BENCH_WARM_ITERS", 80))
 # knob, not the library default (the cap landscape is jagged away from
 # 120 — quality-gate/retry interactions).  0 disables.
 STAGE1_MAXITER = int(os.environ.get("TWOACE_BENCH_STAGE1_MAXITER", 120))
+# Pass-2 iteration cap (config.AdmmConfig.stage2_maxiter): bounds the
+# vmapped-lockstep straggler of the per-column pass (BENCH_lockstep_r05:
+# max 307 vs mean ~153 trips).  Capping at 160 (~p90 of the trip
+# distribution) is +12.6% batch-256 throughput at IDENTICAL median/p90
+# NMSE and quality (BENCH_stage2cap_r05.json: 123.0 vs 109.2 rec/s,
+# -94.6 dB, min quality 1.0, selected iters within 0.05%) — the full-data
+# refinement stage re-converges the selected restart at full maxiter.
+# 0 disables.
+STAGE2_MAXITER = int(os.environ.get("TWOACE_BENCH_STAGE2_MAXITER", 160))
 
 
 def build_problem(seed: int = 0):
@@ -231,7 +240,8 @@ def bench_full_solve():
 
     ap, b, x_true = build_solve_problem()
     cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM_ITERS,
-                     stage1_maxiter=STAGE1_MAXITER or None)
+                     stage1_maxiter=STAGE1_MAXITER or None,
+                     stage2_maxiter=STAGE2_MAXITER or None)
     key = jax.random.PRNGKey(0)
 
     t_c = time.perf_counter()
@@ -334,6 +344,7 @@ def main():
         "matmul_precision": AdmmConfig().matmul_precision,
         "warm_iters": WARM_ITERS,
         "stage1_maxiter": STAGE1_MAXITER,
+        "stage2_maxiter": STAGE2_MAXITER,
         # first solve_lowrank_multi_pair_batch call incl. trace+compile of
         # the three staged jits (near-zero when .jax_cache is warm)
         "first_call_s": round(first_call_s, 1),

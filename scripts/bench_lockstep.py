@@ -47,8 +47,12 @@ def main():
     nt = nr = 16
     m, n = a.shape
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    cap2 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    warm = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     cfg = AdmmConfig(maxiter=bench.MAXITER,
-                     stage1_maxiter=cap or None)
+                     stage1_maxiter=cap or None,
+                     stage2_maxiter=cap2 or None,
+                     warm_iters=warm)
     pl = cfg.profile
 
     key = jax.random.PRNGKey(0)
@@ -90,6 +94,8 @@ def main():
         "workload": {"batch": batch, "m": m, "n": n,
                      "maxiter": cfg.maxiter, "restarts": n_restarts,
                      "stage1_maxiter": cfg.stage1_maxiter,
+                     "stage2_maxiter": cfg.stage2_maxiter,
+                     "warm_iters": cfg.warm_iters,
                      "matmul_precision": cfg.matmul_precision},
         "backend": jax.default_backend(),
         "solve1_scale_by_row": acct(it[..., 0]),
@@ -108,8 +114,11 @@ def main():
                 "while_loop.  waste is the fraction of executed iterations "
                 "spent on already-converged lanes.",
     }
+    name = ("BENCH_lockstep_r05b.json" if cap2
+            else "BENCH_lockstep_r05.json" if cap
+            else "BENCH_lockstep_r04.json")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_lockstep_r05.json" if cap else "BENCH_lockstep_r04.json")
+        os.path.abspath(__file__))), name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -210,6 +210,44 @@ def test_batched_shared_codebook_solver():
         assert float(res.quality[u]) > 0.98
 
 
+def test_batched_solver_pass_caps_preserve_recovery():
+    """stage1_maxiter / stage2_maxiter (config.AdmmConfig): the pass-1 and
+    pass-2 iteration caps bound the vmapped-lockstep stragglers
+    (BENCH_lockstep_r05) without degrading recovery — the full-data
+    refinement stage still runs at full maxiter and re-converges the
+    selected restart.  The capped run must (a) recover to the same
+    accuracy class, (b) keep the held-out quality gate green, and
+    (c) consume strictly fewer inner iterations than the uncapped run."""
+    from twoace_tpu.ops.pair_solver import solve_lowrank_multi_pair_batch
+
+    nt = nr = 8
+    n, m, batch = 64, 256, 2
+    rng = np.random.default_rng(17)
+    bits = rng.integers(0, 4, (m, n))
+    a = (np.exp(1j * bits * (np.pi / 2)) / np.sqrt(n)).astype(np.complex64)
+    xs, bs = [], []
+    for u in range(batch):
+        h = sum((rng.normal() + 1j * rng.normal())
+                * np.outer(_steer(nr, a1), _steer(nt, a2).conj())
+                for a1, a2 in [(0.25 + 0.1 * u, -0.45), (0.85, 0.35)])
+        x = h.T.reshape(-1)
+        xs.append(x)
+        bs.append(np.abs(a @ x))
+    b_batch = jnp.asarray(np.stack(bs), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    res0 = solve_lowrank_multi_pair_batch(
+        jax.random.PRNGKey(3), _pair(a), b_batch, nt, nr,
+        AdmmConfig(maxiter=300))
+    res = solve_lowrank_multi_pair_batch(
+        key, _pair(a), b_batch, nt, nr,
+        AdmmConfig(maxiter=300, stage1_maxiter=60, stage2_maxiter=80))
+    for u in range(batch):
+        x_est = np.asarray(res.x.re[u]) + 1j * np.asarray(res.x.im[u])
+        assert _nmse_db(x_est, xs[u]) < -35, u
+        assert float(res.quality[u]) > 0.98
+        assert int(res.iters[u]) < int(res0.iters[u]), u
+
+
 def test_batched_solver_host_gated_retry():
     """The staged rank-1 retry path (ops/pair_solver.py: gather poor
     (instance, restart) pairs on the host, bucket-pad, scatter back —

@@ -189,6 +189,16 @@ class AdmmConfig:
     #: p50/2 of the bench trip distribution) trades pass-1 tail iterations
     #: for batch throughput — measured A/B in BENCH_sweep_r05.json.
     stage1_maxiter: Optional[int] = None
+    #: Iteration cap for the SECOND (per-column, scale_by_row=False) pass.
+    #: Under the batch solver's instance vmap the pass-2 while_loop runs
+    #: every lane to the SLOWEST lane's trip count (BENCH_lockstep_r05:
+    #: max 307 vs mean 152.8 trips = 50.2% lockstep waste); a cap near the
+    #: p90 of the trip distribution (~160) bounds the straggler without
+    #: touching typical lanes, and the full-data refinement stage (which
+    #: runs at full cfg.maxiter) re-converges the selected restart anyway.
+    #: None = full cfg.maxiter (reference semantics, the default);
+    #: measured A/B in BENCH_sweep_r05.json.
+    stage2_maxiter: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -651,9 +651,14 @@ def _impl_pair(a: Pair, b, xs: Pair, nt, nr, use_rank_one: bool,
     # work — see the config docstring and the BENCH_sweep_r05 A/B
     kw1 = dict(kw, maxiter=min(cfg.stage1_maxiter, cfg.maxiter)) \
         if cfg.stage1_maxiter is not None else kw
+    # pass-2 cap (cfg.stage2_maxiter): bounds the vmapped-lockstep straggler
+    # (BENCH_lockstep_r05: max 307 vs mean 152.8 trips); the full-data
+    # refinement stage re-converges the selected restart at full maxiter
+    kw2 = dict(kw, maxiter=min(cfg.stage2_maxiter, cfg.maxiter)) \
+        if cfg.stage2_maxiter is not None else kw
     x, y, _, it1 = infer_admm_pair(a, b, xs, scale_by_row=True, **kw1)
     x = _orthonormalize_cols_t(x)
-    x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw)
+    x, y, converged, it2 = infer_admm_pair(a, b, x, scale_by_row=False, **kw2)
     # per-solve trip counts, stacked: callers that only need the total sum
     # the last axis; the batch solver's waste accounting needs them split
     # (a vmapped while_loop runs every lane to the slowest lane's count)

@@ -33,6 +33,9 @@ N = NT * NR
 M = int(os.environ.get("M", 4 * N))
 BATCH = int(os.environ.get("BATCH", 64))
 MAXITER = int(os.environ.get("MAXITER", 500))
+WARM = int(os.environ.get("WARM", 0))
+S1CAP = int(os.environ.get("S1CAP", 0))    # 0 = uncapped
+S2CAP = int(os.environ.get("S2CAP", 0))    # 0 = uncapped
 
 
 def main():
@@ -60,7 +63,9 @@ def main():
     b = jnp.asarray(np.stack(bs), jnp.float32)
     ap = Pair(jnp.asarray(a.real, jnp.float32), jnp.asarray(a.imag, jnp.float32))
 
-    cfg = AdmmConfig(maxiter=MAXITER)
+    cfg = AdmmConfig(maxiter=MAXITER, warm_iters=WARM,
+                     stage1_maxiter=S1CAP or None,
+                     stage2_maxiter=S2CAP or None)
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()

@@ -308,6 +308,16 @@ def test_bench_stage2_cap_harvest():
     assert rf["refine_trips"]["lockstep_waste"] == 0.0
     assert (lk["combined_first_pass"]["useful_iters"]
             + rf["workload"]["batch"] == cap["selected_iters"])
+    # the harvest transfers to the production 32x32 shape
+    # (BENCH_full32_r05.json): +30%+ recoveries/s at the same accuracy
+    # class (there it is the pass-1 redone-work cut, not stragglers —
+    # 32x32/batch-16 trips were already tight)
+    f32x = _load("BENCH_full32_r05.json")
+    p32 = {p["stage1_maxiter"]: p for p in f32x["points"]}
+    assert (p32[120]["recoveries_per_s"]
+            >= 1.25 * p32[None]["recoveries_per_s"])
+    assert p32[120]["median_nmse_db"] <= -80.0
+    assert p32[120]["min_quality"] == 1.0
 
 
 def test_vssr_r05_reference_semantics_and_finite_rows():

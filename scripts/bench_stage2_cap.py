@@ -104,8 +104,10 @@ def main():
     out = {"workload": {"nt": NT, "nr": NR, "m": M, "batch": batch,
                         "maxiter": MAXITER},
            "backend": jax.default_backend(), "points": points}
+    name = ("BENCH_stage2cap_r05.json" if batch == 256
+            else f"BENCH_stage2cap{batch}_r05.json")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_stage2cap_r05.json")
+        os.path.abspath(__file__))), name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
